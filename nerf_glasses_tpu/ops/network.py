@@ -1,0 +1,123 @@
+"""Composite NeRF network: hash-grid -> density MLP, SH -> rgb MLP.
+
+Functional re-design of NerfNetwork<T>
+(reference: src/ngp/nerf_network.cuh:75-135):
+
+    density path: pos(3) --HashGrid(32)--> density MLP (64x1 hidden -> 16)
+    color path:   [density_out(16), SH(dir)(16)] -> rgb MLP (64x2 -> 16)
+    outputs:      rgb = rgb_out[:, :3] (pre-activation),
+                  sigma = density_out[:, 0] (pre-activation)
+                  (extract_density, nerf_network.cuh:128-134)
+
+Params are a pytree dict; pack/unpack to the tcnn fp16 serialization order
+density-MLP -> rgb-MLP -> hash-grid -> dir-encoding
+(nerf_network.cuh:359-392) lives here for snapshot compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_glasses_tpu.config import NGPConfig
+from nerf_glasses_tpu.ops.hashgrid import hash_encode, hash_table_init
+from nerf_glasses_tpu.ops.mlp import mlp_apply, mlp_init
+from nerf_glasses_tpu.ops.sh import sh_encode
+
+Params = Dict[str, object]
+
+
+def init_params(key, config: NGPConfig, dtype=jnp.float32) -> Params:
+    kd, kr, kg = jax.random.split(key, 3)
+    d_shapes, r_shapes = config.mlp_shapes()
+    return {
+        "density_mlp": mlp_init(kd, d_shapes, dtype),
+        "rgb_mlp": mlp_init(kr, r_shapes, dtype),
+        "grid": hash_table_init(kg, config, dtype),
+    }
+
+
+def density_raw(params: Params, pos01: jnp.ndarray, config: NGPConfig,
+                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """pos01 (N,3) in [0,1] -> density MLP output (N, 16); sigma = [:, 0].
+
+    Matches NerfNetwork::density (nerf_network.cuh:266-282).
+    """
+    enc = hash_encode(params["grid"], pos01, config, compute_dtype=jnp.float32)
+    return mlp_apply(enc, params["density_mlp"], compute_dtype=compute_dtype)
+
+
+def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
+                  config: NGPConfig, compute_dtype=jnp.bfloat16
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (rgb_raw (N,3), sigma_raw (N,)), both pre-activation fp32."""
+    d_out = density_raw(params, pos01, config, compute_dtype)
+    sh = sh_encode(dir01, config.sh_degree, config.sh_out_padded)
+    rgb_in = jnp.concatenate(
+        [d_out.astype(compute_dtype), sh.astype(compute_dtype)], axis=-1)
+    rgb_out = mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
+    return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Activations (testbed.cu:325-345)
+# ---------------------------------------------------------------------------
+
+def apply_density_activation(x, kind: str):
+    if kind == "none":
+        return x
+    if kind == "relu":
+        return jnp.maximum(x, 0.0)
+    if kind == "logistic":
+        return jax.nn.sigmoid(x)
+    if kind == "exponential":
+        return jnp.exp(x)
+    raise ValueError(kind)
+
+
+def apply_rgb_activation(x, kind: str):
+    if kind == "exponential":
+        return jnp.exp(jnp.clip(x, -10.0, 10.0))
+    return apply_density_activation(x, kind)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot (de)serialization: tcnn params_binary layout
+# ---------------------------------------------------------------------------
+
+def pack_params(params: Params, config: NGPConfig) -> np.ndarray:
+    """Flatten to the fp16 blob order of NerfNetwork::set_params."""
+    parts = []
+    for w in params["density_mlp"]:
+        parts.append(np.asarray(w, dtype=np.float32).reshape(-1))
+    for w in params["rgb_mlp"]:
+        parts.append(np.asarray(w, dtype=np.float32).reshape(-1))
+    parts.append(np.asarray(params["grid"], dtype=np.float32).reshape(-1))
+    flat = np.concatenate(parts)
+    assert flat.size == config.n_params, (flat.size, config.n_params)
+    return flat.astype(np.float16)
+
+
+def unpack_params(blob: np.ndarray, config: NGPConfig, dtype=jnp.float32) -> Params:
+    """Inverse of pack_params; blob is the fp16 (or fp32) params array."""
+    flat = np.asarray(blob, dtype=np.float32)
+    if flat.size != config.n_params:
+        raise ValueError(
+            f"params_binary has {flat.size} params, expected {config.n_params}")
+    d_shapes, r_shapes = config.mlp_shapes()
+    off = 0
+
+    def take(shape):
+        nonlocal off
+        n = int(np.prod(shape))
+        out = flat[off:off + n].reshape(shape)
+        off += n
+        return jnp.asarray(out, dtype=dtype)
+
+    density = tuple(take(s) for s in d_shapes)
+    rgb = tuple(take(s) for s in r_shapes)
+    grid = take((config.n_grid_rows, config.n_features_per_level))
+    return {"density_mlp": density, "rgb_mlp": rgb, "grid": grid}

@@ -1,0 +1,165 @@
+"""Multi-mip occupancy grid: construction, lookup, and DDA empty-space skip.
+
+TPU-first design note: the reference keeps the grid as a Morton-ordered
+*bitfield* and walks it with per-thread DDA (testbed.cu:119-166, 234-315).
+On TPU we keep a dense uint8 array in plain [mip, z, y, x] layout
+(8 * 128^3 = 16 MiB in HBM) so lookups are single flat gathers with no bit
+math, and all DDA stepping is vectorized over rays. Morton packing is only
+used at the snapshot/dump-file boundary (see io/snapshot.py, models/floaty).
+
+Reference semantics:
+  grid_to_bitfield / bitfield_max_pool     testbed.cu:119-166, 1120-1135
+  mip_from_pos / mip_from_dt               testbed.cu:188-202
+  cascaded_grid_idx_at / occupied_at       testbed.cu:234-264
+  distance/advance_to_next_voxel           testbed.cu:293-315
+  calc_dt                                  testbed.cu:230-232
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_glasses_tpu import constants as C
+
+
+GRID = C.NERF_GRIDSIZE
+N_MIPS = C.NERF_CASCADES
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def build_occupancy(density_grid: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """density_grid: (n_cascades, 128, 128, 128) float, linear [mip,z,y,x]
+    layout, values = optical thickness (density * MIN_CONE_STEPSIZE scale).
+
+    Returns occupancy (8, 128, 128, 128) uint8 in {0,1}.
+
+    Matches update_density_grid_mean_and_bitfield (testbed.cu:1120-1135):
+    threshold = min(NERF_MIN_OPTICAL_THICKNESS, mean over mip-0 of
+    max(d, 0)), then per-level max-pool into the inner half of the next mip.
+    """
+    n_cascades = density_grid.shape[0]
+    mean0 = jnp.mean(jnp.maximum(density_grid[0], 0.0))
+    thresh = jnp.minimum(jnp.float32(C.NERF_MIN_OPTICAL_THICKNESS), mean0)
+
+    occ = density_grid > thresh  # (n_cascades, Z, Y, X) bool
+    # zero out cascades beyond max_cascade (grid_to_bitfield's
+    # n_nonzero_elements guard)
+    if n_cascades > max_cascade + 1:
+        occ = occ.at[max_cascade + 1:].set(False)
+
+    levels = [occ[0]]
+    for lvl in range(1, N_MIPS):
+        own = occ[lvl] if lvl < n_cascades else jnp.zeros((GRID,) * 3, bool)
+        prev = levels[lvl - 1]
+        pooled = prev.reshape(64, 2, 64, 2, 64, 2).any(axis=(1, 3, 5))
+        own = own.at[32:96, 32:96, 32:96].set(own[32:96, 32:96, 32:96] | pooled)
+        levels.append(own)
+    return jnp.stack(levels).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Lookup
+# ---------------------------------------------------------------------------
+
+def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """pos: (..., 3). Smallest mip whose [0,1]-scaled cube contains pos."""
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    _, exponent = jnp.frexp(maxval)
+    return jnp.clip(exponent + 1, 0, max_cascade).astype(jnp.int32)
+
+
+def mip_from_dt(dt: jnp.ndarray, pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    mip = mip_from_pos(pos, max_cascade)
+    dt = dt * (2 * GRID)
+    _, exponent = jnp.frexp(dt)
+    mip_dt = jnp.where(dt < 1.0, mip, jnp.minimum(jnp.maximum(exponent, mip), max_cascade))
+    return mip_dt.astype(jnp.int32)
+
+
+def occupied_at(occ: jnp.ndarray, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
+    """occ: (8, G, G, G) uint8; pos (..., 3); mip (...,) int32 -> bool."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    # C-style cast (truncation toward zero), then clamp — testbed.cu:240-249
+    i = jnp.clip(jnp.trunc(p * GRID).astype(jnp.int32), 0, GRID - 1)
+    flat = ((mip * GRID + i[..., 2]) * GRID + i[..., 1]) * GRID + i[..., 0]
+    return jnp.take(occ.reshape(-1), flat, mode="clip").astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Stepping
+# ---------------------------------------------------------------------------
+
+def calc_dt(t, cone_angle: float):
+    if cone_angle == 0.0:
+        return jnp.full_like(t, C.MIN_CONE_STEPSIZE)
+    return jnp.clip(t * cone_angle, C.MIN_CONE_STEPSIZE, C.MAX_CONE_STEPSIZE)
+
+
+def distance_to_next_voxel(pos, dir, idir, res):
+    """DDA-like distance to the next voxel boundary. res: (...,) float."""
+    p = res[..., None] * pos
+    sign = jnp.sign(dir) + (dir == 0.0)  # copysign(1, 0) == 1
+    tt = (jnp.floor(p + 0.5 + 0.5 * sign) - p) * idir
+    t = jnp.min(tt, axis=-1)
+    return jnp.maximum(t / res, 0.0)
+
+
+def advance_to_next_voxel(t, cone_angle: float, pos, dir, idir, res):
+    """Step t past the current (empty) voxel, by multiples of dt.
+
+    Regular stepping matching testbed.cu:303-315: repeatedly t += calc_dt(t)
+    until t >= t_target. For cone_angle == 0 (unit-cube scenes, the
+    reference's aabb_scale==1 default) this has the closed form below; for
+    exponential stepping we bound the inner loop (steps are >= dt_min so
+    a cap of a few iterations loses no correctness, only skips less far,
+    which the outer march loop absorbs).
+    """
+    t_target = t + distance_to_next_voxel(pos, dir, idir, res)
+    if cone_angle == 0.0:
+        dt = C.MIN_CONE_STEPSIZE
+        n = jnp.maximum(jnp.ceil((t_target - t) / dt), 1.0)
+        return t + n * dt
+
+    def body(_, tcur):
+        dt = calc_dt(tcur, cone_angle)
+        return jnp.where(tcur < t_target, tcur + dt, tcur)
+
+    t1 = jax.lax.fori_loop(0, 8, body, t)
+    # guarantee at least one step (do-while)
+    t1 = jnp.maximum(t1, t + calc_dt(t, cone_angle))
+    return t1
+
+
+# ---------------------------------------------------------------------------
+# Morton <-> linear cascade conversion (host side, snapshot interop)
+# ---------------------------------------------------------------------------
+
+def morton_cascades_to_linear(values_morton: np.ndarray) -> np.ndarray:
+    """(n_cascades, 128^3) morton-ordered -> (n_cascades,128,128,128) [z,y,x].
+
+    Reference stores the density grid morton-ordered per cascade; the grid
+    cell of morton index m is at coords (x,y,z) = morton3d_invert bits.
+    """
+    from nerf_glasses_tpu.ops.morton import morton_order_lut
+    lut = morton_order_lut(GRID)  # morton code for linear index x+G*(y+G*z)
+    n = values_morton.shape[0]
+    out = values_morton[:, lut]  # now in linear order, x fastest
+    # flat index i = x + G*y + G^2*z reshaped C-order -> axes [z, y, x]
+    return out.reshape(n, GRID, GRID, GRID)
+
+
+def linear_cascades_to_morton(values_linear: np.ndarray) -> np.ndarray:
+    """(n_cascades, 128, 128, 128) [z,y,x] -> (n_cascades, 128^3) morton."""
+    from nerf_glasses_tpu.ops.morton import morton_order_lut
+    lut = morton_order_lut(GRID)
+    n = values_linear.shape[0]
+    flat = values_linear.reshape(n, -1)  # x fastest
+    out = np.empty_like(flat)
+    out[:, lut] = flat
+    return out
