@@ -1,0 +1,410 @@
+"""Volumetric ray marching with occupancy-grid skipping and depth-gated
+mesh-surface compositing — the TPU-native core renderer.
+
+Re-design of the reference's NerfTracer pipeline
+(init_rays_with_payload_kernel_nerf  testbed.cu:355-467,
+ advance_pos_nerf                    testbed.cu:470-537,
+ generate_next_nerf_network_inputs   testbed.cu:564-633,
+ composite_kernel_nerf               testbed.cu:784-905,
+ trace loop                          testbed.cu:1938-2053):
+
+The CUDA implementation is a host-driven loop with atomic ray compaction
+and per-iteration alive-counter readbacks. On TPU we instead run a
+fixed-shape `lax.while_loop` over march *rounds*; every ray carries an
+`alive` mask, each round takes up to K occupancy-gated samples per ray,
+evaluates the network on the (N*K) batch as bf16 MXU matmuls, and
+composites with masks. The loop exits when no ray in the tile is alive —
+tiles are processed independently so spatially-coherent tiles terminate
+early (the TPU analogue of compaction).
+
+Mesh-surface gating (the paper's hybrid-occlusion core): each ray may
+carry (t_surface, surface_rgba) produced by the mesh pass. Semantics match
+the reference exactly:
+  - dead rays with a surface are revived at t = t_surface (advance_pos,
+    testbed.cu:487-493)
+  - marching stops at t_surface when the surface is opaque
+    (testbed.cu:600-607)
+  - when the march crosses t_surface, the surface color is alpha-blended
+    in front-to-back order (testbed.cu:843-857)
+  - rays that terminate (exit the aabb / hit an opaque surface) blend any
+    unconsumed surface color weighted by remaining transmittance
+    (testbed.cu:886-897).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_glasses_tpu import constants as C
+from nerf_glasses_tpu.config import NGPConfig
+from nerf_glasses_tpu.ops import occupancy as occ_ops
+from nerf_glasses_tpu.ops.network import (apply_density_activation,
+                                          apply_network,
+                                          apply_rgb_activation)
+from nerf_glasses_tpu.utils.bbox import contains_aabb, ray_intersect_aabb
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchOptions:
+    config: NGPConfig
+    cone_angle: float = 0.0
+    min_transmittance: float = C.DEFAULT_MIN_TRANSMITTANCE
+    steps_per_round: int = C.MAX_STEPS_INBETWEEN_COMPACTION   # K
+    skip_iters: int = 6          # bounded DDA skips per sample slot
+    init_skip_iters: int = 48    # bounded DDA skips at ray init
+    max_rounds: int = C.MARCH_ITER // C.MAX_STEPS_INBETWEEN_COMPACTION
+    min_mip: int = 0
+    jitter: bool = True
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_scene(occ_grid, render_aabb_min, render_aabb_max,
+               render_aabb_to_local, train_aabb_min, train_aabb_max) -> Dict:
+    """Bundle the non-parameter scene arrays."""
+    return {
+        "occ": jnp.asarray(occ_grid, jnp.uint8),
+        "render_min": jnp.asarray(render_aabb_min, jnp.float32),
+        "render_max": jnp.asarray(render_aabb_max, jnp.float32),
+        "local": jnp.asarray(render_aabb_to_local, jnp.float32),
+        "train_min": jnp.asarray(train_aabb_min, jnp.float32),
+        "train_max": jnp.asarray(train_aabb_max, jnp.float32),
+    }
+
+
+def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Cheap integer hash -> [0,1) float; replaces the reference's scrambled
+    Sobol start-t jitter (random_val.cuh ld_random_val)."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def _contains_local(pos, scene):
+    local_pos = pos @ scene["local"].T
+    return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
+
+
+def _occupied(scene, pos, dt, opts: MarchOptions):
+    mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
+    mip = jnp.maximum(mip, opts.min_mip)
+    return occ_ops.occupied_at(scene["occ"], pos, mip), mip
+
+
+# ---------------------------------------------------------------------------
+# Ray init (init_rays_with_payload + advance_pos_nerf)
+# ---------------------------------------------------------------------------
+
+def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
+              sample_index=0, ray_idx: Optional[jnp.ndarray] = None):
+    """o, d: (N,3) origin (already in NGP space, +0.5 shifted) and unit dir.
+
+    Returns (t, t_start, alive).
+    """
+    n = o.shape[0]
+    tmin, _ = ray_intersect_aabb(o, d, scene["render_min"], scene["render_max"])
+    t = jnp.maximum(tmin, 0.0) + 1e-6
+    alive = contains_aabb(o + d * t[:, None], scene["render_min"],
+                          scene["render_max"])
+
+    # surface revive (advance_pos_nerf, testbed.cu:487-493)
+    has_surface = t_surface > 0.0
+    t = jnp.where(~alive & has_surface, t_surface, t)
+    alive = alive | has_surface
+
+    # start-t jitter
+    if opts.jitter:
+        if ray_idx is None:
+            ray_idx = jnp.arange(n, dtype=jnp.uint32)
+        seed = jnp.asarray(sample_index).astype(jnp.uint32) * jnp.uint32(2654435761)
+        jit01 = _hash_u32(ray_idx * jnp.uint32(786433) + seed)
+        t = t + jit01 * occ_ops.calc_dt(t, opts.cone_angle)
+
+    idir = 1.0 / d
+
+    # empty-space skip to the first occupied voxel (bounded DDA)
+    def body(_, carry):
+        t, alive, settled = carry
+        pos = o + d * t[:, None]
+        at_surface = has_surface & (t > t_surface)
+        inside = _contains_local(pos, scene)
+        dt = occ_ops.calc_dt(t, opts.cone_angle)
+        occ, mip = _occupied(scene, pos, dt, opts)
+        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d, idir, res)
+
+        newly_surface = ~settled & alive & at_surface
+        newly_exit = ~settled & alive & ~at_surface & ~inside
+        newly_hit = ~settled & alive & ~at_surface & inside & occ
+
+        t = jnp.where(newly_surface | (newly_exit & has_surface), t_surface, t)
+        alive = jnp.where(newly_exit & ~has_surface, False, alive)
+        settled = settled | newly_surface | newly_exit | newly_hit | ~alive
+        t = jnp.where(~settled & alive, adv, t)
+        return t, alive, settled
+
+    settled0 = ~alive
+    t, alive, _ = jax.lax.fori_loop(0, opts.init_skip_iters, body,
+                                    (t, alive, settled0))
+
+    pos_t = o + d * t[:, None]
+    in_mip0 = occ_ops.mip_from_pos(pos_t, opts.config.max_cascade) == 0
+    t_start = jnp.where(in_mip0, t, 0.0)
+    return t, t_start, alive
+
+
+# ---------------------------------------------------------------------------
+# One tile: full march
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("opts",))
+def march_rays(params, scene, o, d, surface_rgba, t_surface,
+               opts: MarchOptions, sample_index=0):
+    """March one tile of rays to completion.
+
+    o, d: (N, 3); surface_rgba: (N, 4); t_surface: (N,) (0 = no surface).
+    Returns dict(rgba=(N,4) premultiplied, depth=(N,)).
+    """
+    n = o.shape[0]
+    cfg = opts.config
+    K = opts.steps_per_round
+    idir = 1.0 / d
+    has_surface = t_surface > 0.0
+    train_extent = scene["train_max"] - scene["train_min"]
+
+    t0, t_start, alive0 = init_rays(scene, o, d, t_surface, surface_rgba[:, 3],
+                                    opts, sample_index)
+
+    state = {
+        "t": t0,
+        "rgba": jnp.zeros((n, 4), jnp.float32),
+        "depth": jnp.zeros((n,), jnp.float32),
+        "max_weight": jnp.zeros((n,), jnp.float32),
+        "alive": alive0,
+        "surf_a": jnp.where(alive0, surface_rgba[:, 3], 0.0),
+        "round": jnp.int32(0),
+    }
+
+    def gen_step(carry, _):
+        """One sample slot: bounded empty-space skip, then (maybe) a sample.
+
+        status: 0 marching, 1 sample found, 2 exited aabb, 3 surface stop.
+        """
+        t, gen_alive, surf_a = carry
+
+        def skip_body(_, sk):
+            t, status = sk
+            active = status == 0
+            pos = o + d * t[:, None]
+            # stop at an *opaque* surface (testbed.cu:600-607)
+            surf_stop = has_surface & (t > t_surface) & (surf_a >= 1.0)
+            inside = _contains_local(pos, scene)
+            dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
+            occ, mip = _occupied(scene, pos, dt, opts)
+            res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+            adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                                idir, res)
+            new_status = jnp.where(
+                surf_stop, 3, jnp.where(~inside, 2, jnp.where(occ, 1, 0)))
+            status = jnp.where(active, new_status, status)
+            t = jnp.where(active & (status == 0), adv, t)
+            return t, status
+
+        status0 = jnp.where(gen_alive, 0, -1)
+        t, status = jax.lax.fori_loop(0, opts.skip_iters, skip_body,
+                                      (t, status0))
+
+        found = status == 1
+        pos = o + d * t[:, None]
+        dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
+        exited = status == 2
+        surf_stopped = status == 3
+
+        t_out = jnp.where(found, t + dt, jnp.where(surf_stopped, t_surface, t))
+        gen_alive = gen_alive & found
+        sample = {"pos": pos, "dt": dt, "valid": found,
+                  "t_sample": t}
+        return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
+
+    def round_body(st):
+        t_round_start = st["t"]
+        (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
+            gen_step, (st["t"], st["alive"], st["surf_a"]),
+            None, length=K)
+        # (K, N, ...) stacked outputs
+        exited = exited_k.any(axis=0) & st["alive"]
+        surf_stopped = surfstop_k.any(axis=0) & st["alive"]
+        terminated_early = exited | surf_stopped
+
+        # --- network evaluation on the (N*K) masked batch ----------------
+        pos = samples["pos"]                       # (K, N, 3)
+        valid = samples["valid"] & st["alive"][None]  # (K, N)
+        pos01 = (pos - scene["train_min"]) / train_extent
+        pos01 = jnp.where(valid[..., None], pos01, 0.5)
+        dir01 = (d + 1.0) * 0.5                    # (N, 3)
+        dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
+        rgb_raw, sigma_raw = apply_network(
+            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
+            compute_dtype=opts.cdtype)
+        rgb_raw = rgb_raw.reshape(K, n, 3)
+        sigma_raw = sigma_raw.reshape(K, n)
+
+        rgb_s = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+        sigma = apply_density_activation(sigma_raw, cfg.density_activation)
+        alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, N)
+
+        # --- composite ----------------------------------------------------
+        rgba = st["rgba"]
+        comp_alive = st["alive"]
+        surf_a = st["surf_a"]
+
+        # in-march surface blend: fires once, before the round's samples,
+        # for rays whose payload-t has crossed t_surface
+        # (testbed.cu:843-857; payload.t is the post-window t for rays that
+        # filled the window, the pre-window t for rays that exited, and
+        # exactly t_surface for surface-stopped rays)
+        t_payload = jnp.where(exited, t_round_start,
+                              jnp.where(surf_stopped, t_surface, t_end))
+        trigger = comp_alive & has_surface & (t_payload > t_surface) & (surf_a > 0.0)
+        T = 1.0 - rgba[:, 3]
+        blend_rgb = surface_rgba[:, :3] * (surf_a * T)[:, None]
+        blend_a = surf_a * T
+        rgba = jnp.where(trigger[:, None],
+                         rgba + jnp.concatenate([blend_rgb, blend_a[:, None]], -1),
+                         rgba)
+        surf_a = jnp.where(trigger, 0.0, surf_a)
+        sat = trigger & (rgba[:, 3] > 0.99)
+        rgba = jnp.where(sat[:, None], rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+        comp_alive = comp_alive & ~sat
+
+        def comp_step(carry, inp):
+            rgba, depth, max_w, comp_alive = carry
+            s_valid, alpha, rgb, t_sample = inp
+            use = comp_alive & s_valid
+            T = 1.0 - rgba[:, 3]
+            w = jnp.where(use, alpha * T, 0.0)
+            rgba = rgba + jnp.concatenate(
+                [rgb * w[:, None], w[:, None]], axis=-1)
+            upd = w > max_w
+            max_w = jnp.where(upd, w, max_w)
+            depth = jnp.where(upd & use, t_sample, depth)
+            done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
+            rgba = jnp.where(done[:, None],
+                             rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+            comp_alive = comp_alive & ~done
+            return (rgba, depth, max_w, comp_alive), None
+
+        (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
+            comp_step,
+            (rgba, st["depth"], st["max_weight"], comp_alive),
+            (valid, alpha_k, rgb_s, samples["t_sample"]))
+
+        # final surface blend for terminated rays (testbed.cu:886-897)
+        fin = comp_alive & terminated_early & (surf_a > 0.0)
+        rem = 1.0 - rgba[:, 3:4]
+        rgba = jnp.where(fin[:, None], rgba + surface_rgba * rem, rgba)
+        comp_alive = comp_alive & ~terminated_early
+
+        # rays that made no progress at all this round (still status 0 after
+        # skip budget) stay alive with advanced t — handled implicitly.
+        return {
+            "t": t_end,
+            "rgba": rgba,
+            "depth": depth,
+            "max_weight": max_w,
+            "alive": comp_alive,
+            "surf_a": surf_a,
+            "round": st["round"] + 1,
+        }
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["round"] < opts.max_rounds)
+
+    final = jax.lax.while_loop(cond, round_body, state)
+    rgba = final["rgba"]
+    # drop sub-threshold contributions (compact_kernel_nerf's w>0.001 filter)
+    keep = rgba[:, 3] > 0.001
+    rgba = jnp.where(keep[:, None], rgba, 0.0)
+    depth = jnp.where(final["max_weight"] > 0.0, final["depth"], 0.0)
+    return {"rgba": rgba, "depth": depth}
+
+
+# ---------------------------------------------------------------------------
+# Pixel rays + full-frame rendering
+# ---------------------------------------------------------------------------
+
+def camera_rays(camera: np.ndarray, width: int, height: int):
+    """Packed 3x4 camera -> (N,3) origins (+0.5 NGP shift) and unit dirs.
+
+    NDC ray generation matching init_rays_with_payload's pixel_to_ray use
+    (ngp_common.cuh:362-368): dir = cam[:,:3] @ (2u-1, 2v-1, 1); row 0 is
+    the *bottom* of the image (v = +up).
+    """
+    cam = np.asarray(camera, np.float32)
+    x = (np.arange(width, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
+    y = (np.arange(height, dtype=np.float32) + 0.5) / height * 2.0 - 1.0
+    xx, yy = np.meshgrid(x, y)  # (H, W)
+    ndc = np.stack([xx, yy, np.ones_like(xx)], axis=-1)  # (H, W, 3)
+    d = ndc @ cam[:, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam[:, 3] + 0.5, d.shape)
+    return o.reshape(-1, 3).astype(np.float32), d.reshape(-1, 3).astype(np.float32)
+
+
+def render_image(params, scene, camera, width: int, height: int,
+                 opts: MarchOptions, surface_rgba=None, t_surface=None,
+                 sample_index: int = 0, tile_size: int = 65536,
+                 linear_colors: bool = False):
+    """Render a full frame -> (framebuffer (H,W,4) linear premultiplied,
+    depth (H,W)). Tiles are marched independently (early exit per tile).
+
+    The shade step converts accumulated radiance sRGB->linear unless
+    `linear_colors` (shade_kernel_nerf, testbed.cu:907-931).
+    """
+    from nerf_glasses_tpu.ops.colors import srgb_to_linear
+
+    o, d = camera_rays(camera, width, height)
+    npix = o.shape[0]
+    if surface_rgba is None:
+        surface_rgba = np.zeros((npix, 4), np.float32)
+        t_surface = np.zeros((npix,), np.float32)
+    surface_rgba = np.asarray(surface_rgba, np.float32).reshape(npix, 4)
+    t_surface = np.asarray(t_surface, np.float32).reshape(npix)
+
+    rgba_out = []
+    depth_out = []
+    for s in range(0, npix, tile_size):
+        e = min(s + tile_size, npix)
+        pad = tile_size - (e - s)
+        sl = slice(s, e)
+
+        def padded(a):
+            if pad == 0:
+                return jnp.asarray(a[sl])
+            # pad by repeating the last ray (keeps directions well-formed)
+            return jnp.asarray(
+                np.concatenate([a[sl], np.repeat(a[e - 1:e], pad, axis=0)], 0))
+
+        out = march_rays(params, scene, padded(o), padded(d),
+                         padded(surface_rgba), padded(t_surface), opts,
+                         sample_index)
+        rgba_out.append(np.asarray(out["rgba"][: e - s]))
+        depth_out.append(np.asarray(out["depth"][: e - s]))
+
+    rgba = np.concatenate(rgba_out).reshape(height, width, 4)
+    depth = np.concatenate(depth_out).reshape(height, width)
+    if not linear_colors:
+        rgb_lin = np.asarray(srgb_to_linear(jnp.asarray(rgba[..., :3])))
+        rgba = np.concatenate([rgb_lin, rgba[..., 3:]], axis=-1)
+    return rgba.astype(np.float32), depth.astype(np.float32)
