@@ -1,0 +1,417 @@
+"""Testbed — the NeRF runtime object (pynmr-compatible API).
+
+Stateful wrapper around the functional renderer, mirroring ngp::Testbed's
+Python surface (reference: src/python_api.cu:301-496, src/ngp/testbed.cu):
+load_snapshot, render(width, height, spp, linear), camera_matrix,
+render_aabb, aabb, scale/look_at/view_dir, nerf.* knobs, density queries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_glasses_tpu import constants as C
+from nerf_glasses_tpu.config import NGPConfig
+from nerf_glasses_tpu.io import snapshot as snap_io
+from nerf_glasses_tpu.io.dataset import NerfDataset
+from nerf_glasses_tpu.ops import occupancy as occ_ops
+from nerf_glasses_tpu.ops import raymarch
+from nerf_glasses_tpu.ops.colors import accumulate, tonemap_frame
+from nerf_glasses_tpu.ops.network import (apply_density_activation,
+                                          density_raw, init_params,
+                                          pack_params, unpack_params)
+from nerf_glasses_tpu.utils.bbox import BoundingBox
+from nerf_glasses_tpu.utils.camera import fov_to_focal_length
+
+
+class NerfRenderSettings:
+    """The `testbed.nerf` sub-object (python_api.cu:479-496)."""
+
+    def __init__(self, testbed: "Testbed"):
+        self._tb = testbed
+        self.sharpen = 0.0
+        self.render_with_lens_distortion = False
+        self.render_min_transmittance = C.DEFAULT_MIN_TRANSMITTANCE
+        self.visualize_cameras = False
+        self.glow_y_cutoff = 0.0
+        self.glow_mode = 0
+
+    # rgb/density activations and cone angle live on the config
+    @property
+    def rgb_activation(self):
+        return self._tb.config.rgb_activation
+
+    @rgb_activation.setter
+    def rgb_activation(self, v):
+        self._tb.config = _replace_cfg(self._tb.config, rgb_activation=_act(v))
+
+    @property
+    def density_activation(self):
+        return self._tb.config.density_activation
+
+    @density_activation.setter
+    def density_activation(self, v):
+        self._tb.config = _replace_cfg(self._tb.config,
+                                       density_activation=_act(v))
+
+    @property
+    def cone_angle_constant(self):
+        return self._tb._cone_angle
+
+    @cone_angle_constant.setter
+    def cone_angle_constant(self, v):
+        self._tb._cone_angle = float(v)
+
+    # legacy aliases
+    rendering_min_transmittance = property(
+        lambda self: self.render_min_transmittance)
+
+    @property
+    def training(self):
+        return self._tb._training_view
+
+    # render_aabb convenience passthrough used by render.py:
+    #   nerf.render_aabb.min = ...
+    @property
+    def render_aabb(self):
+        return self._tb.render_aabb
+
+    @render_aabb.setter
+    def render_aabb(self, v):
+        self._tb.render_aabb = v
+
+
+class _TrainingView:
+    """Read-only `testbed.nerf.training` view (dataset metadata)."""
+
+    def __init__(self, tb):
+        self._tb = tb
+        self.linear_colors = False
+
+    @property
+    def dataset(self):
+        return self._tb.dataset
+
+
+def _replace_cfg(cfg: NGPConfig, **kw) -> NGPConfig:
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def _act(v) -> str:
+    return v if isinstance(v, str) else str(v).split(".")[-1].lower()
+
+
+class Testbed:
+    __test__ = False  # not a pytest class
+
+    """NeRF model + render state.
+
+    Construction mirrors `ngp::Testbed(name)` + `load_snapshot`
+    (testbed.cu:57-101, 939-1002); rendering follows render_frame /
+    render_to_cpu (testbed.cu:1481-1612, python_api.cu:83-111).
+    """
+
+    def __init__(self, name: str = "nerf"):
+        self.name = name
+        self.config = NGPConfig()
+        self.params = None
+        self.density_grid = None      # (cascades, 128,128,128) f32 [z,y,x]
+        self.occ = None               # (8, 128,128,128) uint8
+        self.dataset = NerfDataset()
+
+        self.aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+        self.raw_aabb = self.aabb.copy()
+        self.render_aabb = self.aabb.copy()
+        self.render_aabb_to_local = np.eye(3, dtype=np.float32)
+        self.bounding_radius = 1.0
+
+        # camera state (reset_camera, testbed.cu:1383-1398)
+        self.camera_matrix = np.array(
+            [[1.0, 0.0, 0.0, 0.5],
+             [0.0, -1.0, 0.0, 0.5],
+             [0.0, 0.0, -1.0, 0.5]], np.float32)
+        self._scale = 1.5
+        self.camera_matrix[:, 3] -= self._scale * self.view_dir
+        self.smoothed_camera = self.camera_matrix.copy()
+        self.up_dir = np.array([0.0, 1.0, 0.0], np.float32)
+        self.sun_dir = np.ones(3, np.float32) / np.sqrt(3)
+        self.fov_axis = 1
+        self.zoom = 1.0
+        self.screen_center = np.array([0.5, 0.5], np.float32)
+        self.set_fov(50.625)
+
+        self.background_color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        self.exposure = 0.0
+        self.color_space = "linear"
+        self.tonemap_curve = "identity"
+        self.camera_smoothing = False
+        self.snap_to_pixel_centers = False
+        self.parallax_shift = np.zeros(3, np.float32)
+        self.visualized_dimension = -1
+        self.visualized_layer = 0
+        self.max_level_rand_training = False
+        self.fixed_res_factor = 8
+        self.display_gui = False
+        self.visualize_unit_cube = False
+
+        self.training_step = 0
+        self.loss = 0.0
+        self._cone_angle = 0.0
+        self.nerf = NerfRenderSettings(self)
+        self._training_view = _TrainingView(self)
+
+        # external mesh-surface buffers (set by NerfMeshRenderer)
+        self._surface_rgba = None
+        self._surface_t = None
+        self._surface_res = None
+
+        # accumulation state (CudaRenderBuffer analogue)
+        self._accum = None
+        self._spp = 0
+        self._accum_res = None
+
+        self._snapshot_path: Optional[str] = None
+        self.march_overrides = {}
+
+    # ------------------------------------------------------------------
+    # Snapshot IO
+    # ------------------------------------------------------------------
+
+    def load_snapshot(self, path: str):
+        s = snap_io.load_snapshot(path)
+        self.config = s.config
+        self.params = unpack_params(s.params_blob, s.config)
+        self.density_grid = s.density_grid
+        self.dataset = s.dataset
+        self.aabb = s.aabb
+        self.raw_aabb = s.aabb.copy()
+        self.render_aabb = s.render_aabb
+        self.render_aabb_to_local = s.render_aabb_to_local
+        self.bounding_radius = s.bounding_radius
+        self.training_step = s.training_step
+        self.loss = s.loss
+        self._cone_angle = self.config.cone_angle_constant
+        self.up_dir = s.dataset.up.copy()
+        self._snapshot_path = path
+        self.update_occupancy()
+        self.reset_accumulation()
+
+    def save_snapshot(self, path: str, include_optimizer_state: bool = False):
+        snap_io.save_snapshot(
+            path, self.config, pack_params(self.params, self.config).astype(np.float32),
+            self.density_grid, self.dataset, self.aabb, self.render_aabb,
+            self.render_aabb_to_local, self.bounding_radius,
+            self.training_step, self.loss)
+
+    def update_occupancy(self):
+        self.occ = occ_ops.build_occupancy(
+            jnp.asarray(self.density_grid), self.config.max_cascade)
+
+    # ------------------------------------------------------------------
+    # Camera helpers (testbed.cu:1319-1401)
+    # ------------------------------------------------------------------
+
+    @property
+    def view_pos(self):
+        return self.camera_matrix[:, 3]
+
+    @property
+    def view_dir(self):
+        return self.camera_matrix[:, 2]
+
+    @property
+    def look_at(self):
+        return self.view_pos + self.view_dir * self._scale
+
+    @look_at.setter
+    def look_at(self, pos):
+        self.camera_matrix[:, 3] += np.asarray(pos, np.float32) - self.look_at
+
+    @property
+    def view_dir_prop(self):
+        return self.view_dir
+
+    def set_view_dir(self, dir):
+        d = np.asarray(dir, np.float64)
+        old_look_at = self.look_at.copy()
+        x = np.cross(d, self.up_dir)
+        self.camera_matrix[:, 0] = x / np.linalg.norm(x)
+        y = np.cross(d, self.camera_matrix[:, 0])
+        self.camera_matrix[:, 1] = y / np.linalg.norm(y)
+        self.camera_matrix[:, 2] = d / np.linalg.norm(d)
+        self.look_at = old_look_at
+
+    @property
+    def scale(self):
+        return self._scale
+
+    @scale.setter
+    def scale(self, scale):
+        prev_look_at = self.look_at.copy()
+        self.camera_matrix[:, 3] = ((self.view_pos - prev_look_at)
+                                    * (scale / self._scale) + prev_look_at)
+        self._scale = scale
+
+    def set_fov(self, degrees: float):
+        self.relative_focal_length = np.full(
+            2, fov_to_focal_length(1, degrees), np.float32)
+
+    def translate_camera(self, rel):
+        self.camera_matrix[:, 3] += (
+            self.camera_matrix[:, :3] @ np.asarray(rel, np.float32)
+            * self.bounding_radius)
+        self.reset_accumulation()
+
+    # crop box (testbed.cu:1422-1477)
+    def crop_box(self, nerf_space: bool = True) -> np.ndarray:
+        from nerf_glasses_tpu.io.dataset import ngp_matrix_to_nerf
+        cen = self.render_aabb_to_local.T @ self.render_aabb.center()
+        radius = self.render_aabb.diag() * 0.5
+        rv = np.zeros((3, 4), np.float32)
+        rv[:, 0] = self.render_aabb_to_local[0] * radius[0]
+        rv[:, 1] = self.render_aabb_to_local[1] * radius[1]
+        rv[:, 2] = self.render_aabb_to_local[2] * radius[2]
+        rv[:, 3] = cen
+        if nerf_space:
+            rv = ngp_matrix_to_nerf(rv, self.dataset.scale, self.dataset.offset,
+                                    self.dataset.from_mitsuba, True)
+        return rv
+
+    def set_crop_box(self, m: np.ndarray, nerf_space: bool = True):
+        from nerf_glasses_tpu.io.dataset import nerf_matrix_to_ngp
+        m = np.asarray(m, np.float32)
+        if nerf_space:
+            m = nerf_matrix_to_ngp(m, self.dataset.scale, self.dataset.offset,
+                                   self.dataset.from_mitsuba, True)
+        radius = np.linalg.norm(m[:, :3], axis=0)
+        cen = m[:, 3]
+        for i in range(3):
+            self.render_aabb_to_local[i] = m[:, i] / radius[i]
+        cen = self.render_aabb_to_local @ cen
+        self.render_aabb = BoundingBox(cen - radius, cen + radius)
+
+    def crop_box_corners(self, nerf_space: bool = True):
+        m = self.crop_box(nerf_space)
+        corners = []
+        for i in range(8):
+            v = np.array([1.0 if i & 1 else -1.0,
+                          1.0 if i & 2 else -1.0,
+                          1.0 if i & 4 else -1.0, 1.0], np.float32)
+            corners.append(m @ v)
+        return corners
+
+    # ------------------------------------------------------------------
+    # Rendering
+    # ------------------------------------------------------------------
+
+    def _march_options(self) -> raymarch.MarchOptions:
+        kw = dict(config=self.config, cone_angle=self._cone_angle,
+                  min_transmittance=self.nerf.render_min_transmittance)
+        kw.update(self.march_overrides)
+        return raymarch.MarchOptions(**kw)
+
+    def _scene(self):
+        return raymarch.make_scene(
+            self.occ, self.render_aabb.min, self.render_aabb.max,
+            self.render_aabb_to_local, self.aabb.min, self.aabb.max)
+
+    def set_surface_buffers(self, surface_rgba, t_surface, width, height):
+        """Install the mesh pass's per-pixel depth/color (the reference
+        writes these into ray payloads, copyRaytracingBuffersToNerfRays,
+        nerf_mesh_renderer.cu:64-100)."""
+        self._surface_rgba = surface_rgba
+        self._surface_t = t_surface
+        self._surface_res = (width, height)
+
+    def reset_accumulation(self, due_to_camera_movement=False,
+                           immediate_redraw=True):
+        self._accum = None
+        self._spp = 0
+
+    def reset(self, reset_density_grid: bool = True):
+        """reset_network (python_api.cu:334)."""
+        self.params = init_params(jax.random.PRNGKey(1337), self.config)
+        self.training_step = 0
+        if reset_density_grid and self.density_grid is not None:
+            self.density_grid = np.zeros_like(self.density_grid)
+            self.update_occupancy()
+        self.reset_accumulation()
+
+    def render_frame_buffers(self, width: int, height: int,
+                             sample_index: int = 0):
+        """One sample: -> (frame (H,W,4) linear premultiplied, depth)."""
+        if self.params is None:
+            raise RuntimeError("no snapshot loaded")
+        surface_rgba = None
+        t_surface = None
+        if self._surface_rgba is not None and self._surface_res == (width, height):
+            surface_rgba = self._surface_rgba
+            t_surface = self._surface_t
+        return raymarch.render_image(
+            self.params, self._scene(), self.camera_matrix, width, height,
+            self._march_options(), surface_rgba, t_surface, sample_index,
+            linear_colors=self._training_view.linear_colors)
+
+    def render(self, width: int = 1920, height: int = 1080, spp: int = 1,
+               linear: bool = True) -> np.ndarray:
+        """Offscreen render -> (H, W, 4) float numpy, matching
+        Testbed::render_to_cpu (python_api.cu:83-111): resets accumulation,
+        accumulates spp samples, tonemaps (sRGB unless linear)."""
+        self.reset_accumulation()
+        accum = None
+        for i in range(spp):
+            frame, depth = self.render_frame_buffers(width, height, i)
+            accum = np.asarray(accumulate(
+                jnp.zeros_like(jnp.asarray(frame)) if accum is None else jnp.asarray(accum),
+                jnp.asarray(frame), i, self.color_space))
+        self._depth_buffer = depth
+        self._frame_buffer = frame
+        out = tonemap_frame(jnp.asarray(accum), self.exposure,
+                            self.background_color, self.color_space,
+                            "linear" if linear else "srgb",
+                            self.tonemap_curve)
+        return np.asarray(out, np.float32)
+
+    # ------------------------------------------------------------------
+    # Density queries (tracer.intersects / collide support)
+    # ------------------------------------------------------------------
+
+    def density_at(self, positions: np.ndarray) -> np.ndarray:
+        """Activated density at NGP-space positions (N,3)."""
+        extent = self.aabb.diag()
+        pos01 = (jnp.asarray(positions, jnp.float32) - self.aabb.min) / extent
+        raw = density_raw(self.params, pos01, self.config)[:, 0]
+        return np.asarray(apply_density_activation(raw,
+                                                   self.config.density_activation))
+
+    def collide_distances(self, origins_ngp: np.ndarray,
+                          direction: np.ndarray) -> np.ndarray:
+        """March points along `direction` to the first density hit
+        (NerfTracer::collide, testbed.cu:1814-1888)."""
+        d = np.asarray(direction, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        dist = raymarch.collide_march(
+            self.params, self._scene(), jnp.asarray(origins_ngp, jnp.float32),
+            jnp.asarray(d), self._march_options())
+        return np.asarray(dist)
+
+    def alpha_at(self, positions: np.ndarray, dt: float = C.MIN_CONE_STEPSIZE
+                 ) -> np.ndarray:
+        """alpha = 1 - exp(-density*dt), gated by the occupancy grid
+        (NerfTracer::intersects, testbed.cu:1891-1936)."""
+        pos = np.asarray(positions, np.float32)
+        dens = self.density_at(pos)
+        alpha = 1.0 - np.exp(-dens * dt)
+        mip = np.maximum(
+            np.asarray(occ_ops.mip_from_dt(jnp.full(len(pos), dt),
+                                           jnp.asarray(pos),
+                                           self.config.max_cascade)), 0)
+        occ = np.asarray(occ_ops.occupied_at(self.occ, jnp.asarray(pos),
+                                             jnp.asarray(mip)))
+        return np.where(occ, alpha, 0.0)

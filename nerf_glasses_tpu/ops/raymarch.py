@@ -341,6 +341,54 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
 
 
 # ---------------------------------------------------------------------------
+# Collision march (NerfTracer::collide, testbed.cu:1814-1888 +
+# check_collision, testbed.cu:721-782): march each start point along a
+# shared direction until the first sample with alpha > 0; record the
+# distance from the origin. Points that exit the aabb report 0.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("opts",))
+def collide_march(params, scene, o, d, opts: MarchOptions):
+    """o: (N,3) NGP-space start points; d: (3,) unit direction.
+    -> distances (N,), 0 where no collision."""
+    n = o.shape[0]
+    cfg = opts.config
+    dv = jnp.broadcast_to(d, (n, 3))
+    idir = 1.0 / dv
+    train_extent = scene["train_max"] - scene["train_min"]
+
+    def body(st):
+        t, dist, alive, it = st
+        pos = o + dv * t[:, None]
+        inside = _contains_local(pos, scene)
+        dt = occ_ops.calc_dt(t, opts.cone_angle)
+        occ, mip = _occupied(scene, pos, dt, opts)
+        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, dv,
+                                            idir, res)
+        # evaluate density only semantics-wise; the batch is tiny
+        pos01 = jnp.clip((pos - scene["train_min"]) / train_extent, 0.0, 1.0)
+        from nerf_glasses_tpu.ops.network import density_raw
+        sigma_raw = density_raw(params, pos01, cfg,
+                                compute_dtype=opts.cdtype)[:, 0]
+        sigma = apply_density_activation(sigma_raw, cfg.density_activation)
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        hit = alive & inside & occ & (alpha > 0.0)
+        dist = jnp.where(hit, jnp.linalg.norm(pos - o, axis=-1), dist)
+        alive = alive & inside & ~hit
+        t = jnp.where(alive & ~occ, adv, jnp.where(alive, t + dt, t))
+        return t, dist, alive, it + 1
+
+    def cond(st):
+        return jnp.any(st[2]) & (st[3] < C.MARCH_ITER)
+
+    t0 = jnp.zeros((n,))
+    state = (t0, jnp.zeros((n,)), jnp.ones((n,), bool), jnp.int32(0))
+    _, dist, _, _ = jax.lax.while_loop(cond, body, state)
+    return dist
+
+
+# ---------------------------------------------------------------------------
 # Pixel rays + full-frame rendering
 # ---------------------------------------------------------------------------
 
