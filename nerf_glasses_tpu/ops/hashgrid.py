@@ -12,22 +12,25 @@ otype=HashGrid, hash=CoherentPrime, interpolation=Linear
 - output:             trilinear interpolation of F=2 features over the 8
                       corners, concatenated level-major (L*F features).
 
-The table is a single (n_rows, F) array in HBM; per-level slices follow the
-tcnn offset table (8-aligned, dense-or-2^19 rows). Gathers are expressed as
-jnp.take so XLA emits TPU dynamic-gather; a Pallas fast path lives in
-ops/hashgrid_pallas.py.
+TPU-first layout: the table is a *uniform* (n_levels, S, F) array — every
+level padded to the largest level size — and the encode is a lax.scan
+over levels. This (a) bounds HBM temporaries to one level's working set
+(XLA would otherwise schedule all 16 independent level gathers
+concurrently), and (b) gives the Pallas fast path a single
+constant-stride buffer to DMA per grid step. Conversion to/from the tcnn
+packed (offset-table) layout happens only at the snapshot boundary
+(ops/network.py pack_params/unpack_params).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_glasses_tpu.config import NGPConfig
+from nerf_glasses_tpu.config import NGPConfig, grid_scale
 from nerf_glasses_tpu import constants as C
 
 # The 8 corner offsets of a cell, bit i of idx selects dim i (grid.h:320-334).
@@ -36,56 +39,106 @@ _CORNERS = np.array(
 )  # (8, 3)
 
 
-def level_corner_indices(pos: jnp.ndarray, resolution: int, scale: float,
-                         hashmap_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """For positions (N, 3) in [0,1], return (indices (N, 8), weights (N, 8)).
+def level_constants(config: NGPConfig):
+    """Per-level (scale, resolution, hashmap_size, is_dense) numpy arrays."""
+    lp = config.level_params()
+    scales = np.array(
+        [grid_scale(l, config.log2_per_level_scale, config.base_resolution)
+         for l in range(config.n_levels)], np.float32)
+    res = np.array([p[2] for p in lp], np.uint32)
+    sizes = np.array([p[1] for p in lp], np.uint32)
+    dense = np.array([int(p[2]) ** 3 <= int(p[1]) for p in lp], bool)
+    return scales, res, sizes, dense
 
-    Indices are *row* indices into the level's table slice.
+
+def padded_table_rows(config: NGPConfig) -> int:
+    return max(p[1] for p in config.level_params())
+
+
+def corner_indices_and_weights(pos, scale, resolution, hashmap_size, dense):
+    """Vectorized per-level corner indices + trilinear weights.
+
+    pos: (N, 3) in [0,1]; scalars may be traced. -> (idx (N,8) int32,
+    weights (N,8) f32).
     """
-    p = pos * jnp.float32(scale) + 0.5
+    p = pos * scale + 0.5
     grid_f = jnp.floor(p)
     frac = p - grid_f
-    grid = grid_f.astype(jnp.int32)  # (N, 3)
+    grid = grid_f.astype(jnp.int32)
 
-    corners = grid[:, None, :] + _CORNERS[None]  # (N, 8, 3)
+    corners = grid[:, None, :] + _CORNERS[None]          # (N, 8, 3)
+    w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :],
+                  1.0 - frac[:, None, :])
+    weights = w[..., 0] * w[..., 1] * w[..., 2]
 
-    # trilinear weights: prod over dims of (frac if corner bit else 1-frac)
-    w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
-    weights = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
-
-    dense_size = resolution ** 3
-    if dense_size <= hashmap_size:
-        idx = (corners[..., 0]
-               + corners[..., 1] * resolution
-               + corners[..., 2] * resolution * resolution)
-        idx = idx.astype(jnp.uint32) % jnp.uint32(hashmap_size)
-    else:
-        cu = corners.astype(jnp.uint32)
-        idx = (cu[..., 0] * jnp.uint32(C.HASH_PRIMES[0])
-               ^ cu[..., 1] * jnp.uint32(C.HASH_PRIMES[1])
-               ^ cu[..., 2] * jnp.uint32(C.HASH_PRIMES[2]))
-        idx = idx % jnp.uint32(hashmap_size)
+    cu = corners.astype(jnp.uint32)
+    res_u = resolution.astype(jnp.uint32) if hasattr(resolution, "astype") \
+        else jnp.uint32(resolution)
+    dense_idx = cu[..., 0] + cu[..., 1] * res_u + cu[..., 2] * res_u * res_u
+    hash_idx = (cu[..., 0] * jnp.uint32(C.HASH_PRIMES[0])
+                ^ cu[..., 1] * jnp.uint32(C.HASH_PRIMES[1])
+                ^ cu[..., 2] * jnp.uint32(C.HASH_PRIMES[2]))
+    idx = jnp.where(dense, dense_idx, hash_idx) % hashmap_size.astype(jnp.uint32)
     return idx.astype(jnp.int32), weights
 
 
 def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
                 compute_dtype=jnp.float32) -> jnp.ndarray:
-    """table: (n_grid_rows, F); pos: (N, 3) in [0,1] -> (N, L*F) features."""
-    from nerf_glasses_tpu.config import grid_scale
-    feats = []
-    for level, (offset, hashmap_size, resolution) in enumerate(config.level_params()):
-        scale = grid_scale(level, config.log2_per_level_scale, config.base_resolution)
-        idx, w = level_corner_indices(pos, resolution, scale, hashmap_size)
-        sub = table[offset:offset + hashmap_size]
-        vals = jnp.take(sub, idx, axis=0)  # (N, 8, F)
-        f = jnp.sum(vals.astype(compute_dtype) * w[..., None].astype(compute_dtype),
-                    axis=1)  # (N, F)
-        feats.append(f)
-    return jnp.concatenate(feats, axis=-1)
+    """table: (L, S, F) uniform-padded; pos: (N, 3) in [0,1]
+    -> (N, L*F) features (level-major)."""
+    L = config.n_levels
+    F = config.n_features_per_level
+    scales, res, sizes, dense = level_constants(config)
+
+    xs = (table,
+          jnp.asarray(scales), jnp.asarray(res.astype(np.int32)),
+          jnp.asarray(sizes.astype(np.int32)),
+          jnp.asarray(dense))
+
+    def body(carry, x):
+        tab_l, scale, res_l, size_l, dense_l = x
+        idx, w = corner_indices_and_weights(pos, scale, res_l, size_l,
+                                            dense_l)
+        vals = jnp.take(tab_l, idx, axis=0)              # (N, 8, F)
+        f = jnp.sum(vals.astype(compute_dtype)
+                    * w[..., None].astype(compute_dtype), axis=1)
+        return carry, f
+
+    _, feats = jax.lax.scan(body, None, xs)              # (L, N, F)
+    return jnp.moveaxis(feats, 0, 1).reshape(pos.shape[0], L * F)
 
 
 def hash_table_init(key, config: NGPConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform(-1e-4, 1e-4) init, matching tcnn grid.h initialize_params."""
     return jax.random.uniform(
-        key, (config.n_grid_rows, config.n_features_per_level),
+        key, (config.n_levels, padded_table_rows(config),
+              config.n_features_per_level),
         minval=-1e-4, maxval=1e-4, dtype=dtype)
+
+
+def table_to_tcnn(table: np.ndarray, config: NGPConfig) -> np.ndarray:
+    """(L, S, F) padded -> flat tcnn param vector (offset-table layout)."""
+    parts = []
+    for lvl, (offset, size, _res) in enumerate(config.level_params()):
+        parts.append(np.asarray(table[lvl][:size]).reshape(-1))
+    return np.concatenate(parts)
+
+
+def table_from_tcnn(flat: np.ndarray, config: NGPConfig) -> np.ndarray:
+    """Flat tcnn param vector -> (L, S, F) padded."""
+    L = config.n_levels
+    F = config.n_features_per_level
+    S = padded_table_rows(config)
+    out = np.zeros((L, S, F), np.float32)
+    for lvl, (offset, size, _res) in enumerate(config.level_params()):
+        out[lvl, :size] = flat[offset * F:(offset + size) * F].reshape(size, F)
+    return out
+
+
+# Retained for tests / parity checks against the tcnn indexing rules.
+def level_corner_indices(pos: jnp.ndarray, resolution: int, scale: float,
+                         hashmap_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    dense = resolution ** 3 <= hashmap_size
+    return corner_indices_and_weights(
+        pos, jnp.float32(scale), jnp.int32(resolution),
+        jnp.int32(hashmap_size), jnp.asarray(dense))

@@ -90,12 +90,14 @@ def apply_rgb_activation(x, kind: str):
 
 def pack_params(params: Params, config: NGPConfig) -> np.ndarray:
     """Flatten to the fp16 blob order of NerfNetwork::set_params."""
+    from nerf_glasses_tpu.ops.hashgrid import table_to_tcnn
     parts = []
     for w in params["density_mlp"]:
         parts.append(np.asarray(w, dtype=np.float32).reshape(-1))
     for w in params["rgb_mlp"]:
         parts.append(np.asarray(w, dtype=np.float32).reshape(-1))
-    parts.append(np.asarray(params["grid"], dtype=np.float32).reshape(-1))
+    parts.append(table_to_tcnn(
+        np.asarray(params["grid"], dtype=np.float32), config))
     flat = np.concatenate(parts)
     assert flat.size == config.n_params, (flat.size, config.n_params)
     return flat.astype(np.float16)
@@ -119,5 +121,7 @@ def unpack_params(blob: np.ndarray, config: NGPConfig, dtype=jnp.float32) -> Par
 
     density = tuple(take(s) for s in d_shapes)
     rgb = tuple(take(s) for s in r_shapes)
-    grid = take((config.n_grid_rows, config.n_features_per_level))
+    from nerf_glasses_tpu.ops.hashgrid import table_from_tcnn
+    grid_flat = flat[off:off + config.n_grid_params]
+    grid = jnp.asarray(table_from_tcnn(grid_flat, config), dtype=dtype)
     return {"density_mlp": density, "rgb_mlp": rgb, "grid": grid}

@@ -13,4 +13,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's axon site-config forces jax_platforms=axon,cpu; tests
+# run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -44,13 +44,15 @@ def test_offset_table_matches_tcnn_formula():
 
 def test_hash_grid_dense_level_exact():
     """Dense level: encoding must equal hand-computed trilinear interp."""
+    from nerf_glasses_tpu.ops.hashgrid import padded_table_rows
     cfg = SMALL
     lp = cfg.level_params()
     offset, size, res = lp[0]  # level 0: scale=3, res=5, dense
     assert res == grid_resolution(grid_scale(0, cfg.log2_per_level_scale,
                                              cfg.base_resolution))
     rng = np.random.default_rng(0)
-    table = jnp.asarray(rng.standard_normal((cfg.n_grid_rows, 2)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal(
+        (cfg.n_levels, padded_table_rows(cfg), 2)).astype(np.float32))
 
     pos = jnp.asarray(rng.uniform(0.02, 0.98, (16, 3)).astype(np.float32))
     out = np.asarray(hash_encode(table, pos, cfg))
@@ -58,7 +60,7 @@ def test_hash_grid_dense_level_exact():
 
     # hand-computed for level 0
     scale = grid_scale(0, cfg.log2_per_level_scale, cfg.base_resolution)
-    tab = np.asarray(table)
+    tab = np.asarray(table[0])
     for n in range(16):
         p = np.asarray(pos[n]) * scale + 0.5
         g = np.floor(p).astype(int)
@@ -69,7 +71,7 @@ def test_hash_grid_dense_level_exact():
             w = np.prod([f[d] if c[d] else 1 - f[d] for d in range(3)])
             idx = ((g[0] + c[0]) + (g[1] + c[1]) * res + (g[2] + c[2]) * res * res)
             idx %= size
-            acc += w * tab[offset + idx]
+            acc += w * tab[idx]
         np.testing.assert_allclose(out[n, :2], acc, rtol=1e-4, atol=1e-5)
 
 
