@@ -55,13 +55,12 @@ def padded_table_rows(config: NGPConfig) -> int:
     return max(p[1] for p in config.level_params())
 
 
-def corner_indices_and_weights(pos, scale, resolution, hashmap_size, dense):
-    """Vectorized per-level corner indices + trilinear weights.
-
-    pos: (N, 3) in [0,1]; scalars may be traced. -> (idx (N,8) int32,
-    weights (N,8) f32).
-    """
-    p = pos * scale + 0.5
+def corner_indices_and_weights(pos, scale: float, resolution: int,
+                               hashmap_size: int, dense: bool):
+    """Vectorized per-level corner indices + trilinear weights; level
+    constants are Python scalars so the compiler strength-reduces the
+    modulo. -> (idx (N,8) int32, weights (N,8) f32)."""
+    p = pos * jnp.float32(scale) + 0.5
     grid_f = jnp.floor(p)
     frac = p - grid_f
     grid = grid_f.astype(jnp.int32)
@@ -72,40 +71,65 @@ def corner_indices_and_weights(pos, scale, resolution, hashmap_size, dense):
     weights = w[..., 0] * w[..., 1] * w[..., 2]
 
     cu = corners.astype(jnp.uint32)
-    res_u = resolution.astype(jnp.uint32) if hasattr(resolution, "astype") \
-        else jnp.uint32(resolution)
-    dense_idx = cu[..., 0] + cu[..., 1] * res_u + cu[..., 2] * res_u * res_u
-    hash_idx = (cu[..., 0] * jnp.uint32(C.HASH_PRIMES[0])
-                ^ cu[..., 1] * jnp.uint32(C.HASH_PRIMES[1])
-                ^ cu[..., 2] * jnp.uint32(C.HASH_PRIMES[2]))
-    idx = jnp.where(dense, dense_idx, hash_idx) % hashmap_size.astype(jnp.uint32)
+    resolution = int(resolution)
+    hashmap_size = int(hashmap_size)
+    if dense:
+        idx = (cu[..., 0] + cu[..., 1] * jnp.uint32(resolution)
+               + cu[..., 2] * jnp.uint32(resolution * resolution
+                                         & 0xFFFFFFFF))
+    else:
+        idx = (cu[..., 0] * jnp.uint32(C.HASH_PRIMES[0])
+               ^ cu[..., 1] * jnp.uint32(C.HASH_PRIMES[1])
+               ^ cu[..., 2] * jnp.uint32(C.HASH_PRIMES[2]))
+    if hashmap_size & (hashmap_size - 1) == 0:
+        idx = idx & jnp.uint32(hashmap_size - 1)
+    else:
+        idx = idx % jnp.uint32(hashmap_size)
     return idx.astype(jnp.int32), weights
 
 
 def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
                 compute_dtype=jnp.float32) -> jnp.ndarray:
     """table: (L, S, F) uniform-padded; pos: (N, 3) in [0,1]
-    -> (N, L*F) features (level-major)."""
+    -> (N, L*F) features (level-major).
+
+    Per-level constants stay Python values so XLA strength-reduces the
+    `% hashmap_size` (a traced divisor compiles to real integer division
+    — 10x slower). Levels are chained through optimization_barrier so XLA
+    schedules them sequentially (otherwise all 16 levels' (N,8) corner
+    temporaries go live at once and large batches OOM)."""
     L = config.n_levels
     F = config.n_features_per_level
     scales, res, sizes, dense = level_constants(config)
 
-    xs = (table,
-          jnp.asarray(scales), jnp.asarray(res.astype(np.int32)),
-          jnp.asarray(sizes.astype(np.int32)),
-          jnp.asarray(dense))
+    S = table.shape[1]
+    # Fold the table to (S/fold, fold*F)-float rows: TPU HBM gathers cost
+    # ~the same per row up to 64B, so wider rows quadruple useful bytes
+    # per gather (~2x measured end-to-end).
+    fold = 4 if S % 4 == 0 else 1
 
-    def body(carry, x):
-        tab_l, scale, res_l, size_l, dense_l = x
-        idx, w = corner_indices_and_weights(pos, scale, res_l, size_l,
-                                            dense_l)
-        vals = jnp.take(tab_l, idx, axis=0)              # (N, 8, F)
+    feats = []
+    for lvl in range(L):
+        idx, w = corner_indices_and_weights(
+            pos, float(scales[lvl]), int(res[lvl]), int(sizes[lvl]),
+            bool(dense[lvl]))
+        tab_l = table[lvl]
+        if fold > 1:
+            tab4 = tab_l.reshape(S // fold, fold * F)
+            rows = jnp.take(tab4, idx >> 2, axis=0)      # (N, 8, fold*F)
+            sub = idx & (fold - 1)
+            vals = 0.0
+            for k in range(fold):
+                vals = vals + jnp.where(
+                    (sub == k)[..., None], rows[..., k * F:(k + 1) * F], 0.0)
+        else:
+            vals = jnp.take(tab_l, idx, axis=0)          # (N, 8, F)
         f = jnp.sum(vals.astype(compute_dtype)
                     * w[..., None].astype(compute_dtype), axis=1)
-        return carry, f
-
-    _, feats = jax.lax.scan(body, None, xs)              # (L, N, F)
-    return jnp.moveaxis(feats, 0, 1).reshape(pos.shape[0], L * F)
+        feats.append(f)
+        if lvl + 1 < L:
+            pos, = jax.lax.optimization_barrier((pos + 0.0 * f[0, 0],))
+    return jnp.concatenate(feats, axis=-1)
 
 
 def hash_table_init(key, config: NGPConfig, dtype=jnp.float32) -> jnp.ndarray:
@@ -139,6 +163,5 @@ def table_from_tcnn(flat: np.ndarray, config: NGPConfig) -> np.ndarray:
 def level_corner_indices(pos: jnp.ndarray, resolution: int, scale: float,
                          hashmap_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     dense = resolution ** 3 <= hashmap_size
-    return corner_indices_and_weights(
-        pos, jnp.float32(scale), jnp.int32(resolution),
-        jnp.int32(hashmap_size), jnp.asarray(dense))
+    return corner_indices_and_weights(pos, float(scale), int(resolution),
+                                      int(hashmap_size), dense)

@@ -9,13 +9,20 @@ Re-design of the reference's NerfTracer pipeline
  trace loop                          testbed.cu:1938-2053):
 
 The CUDA implementation is a host-driven loop with atomic ray compaction
-and per-iteration alive-counter readbacks. On TPU we instead run a
-fixed-shape `lax.while_loop` over march *rounds*; every ray carries an
-`alive` mask, each round takes up to K occupancy-gated samples per ray,
-evaluates the network on the (N*K) batch as bf16 MXU matmuls, and
-composites with masks. The loop exits when no ray in the tile is alive —
-tiles are processed independently so spatially-coherent tiles terminate
-early (the TPU analogue of compaction).
+and per-iteration alive-counter readbacks. The TPU translation here is
+`march_frame`: ONE compiled dispatch marches a whole frame to completion.
+Inside it, an outer `lax.while_loop` alternates
+
+  1. a sort-free stable partition (cumsum-based) that permutes ray ids so
+     alive rays are contiguous — the fixed-shape equivalent of
+     compact_kernel_nerf's atomic compaction (testbed.cu:539-562), and
+  2. a `fori_loop` over just ceil(n_alive / CHUNK) fixed-size chunks;
+     each chunk gathers its ray state, runs an epoch of R rounds x K
+     occupancy-gated samples (network evaluated as bf16 MXU matmuls on
+     the (CHUNK*K) batch), composites, and scatters state back.
+
+So dead rays stop consuming FLOPs after at most one epoch, there are no
+host round trips mid-frame, and all shapes are static.
 
 Mesh-surface gating (the paper's hybrid-occlusion core): each ray may
 carry (t_surface, surface_rgba) produced by the mesh pass. Semantics match
@@ -56,12 +63,15 @@ class MarchOptions:
     cone_angle: float = 0.0
     min_transmittance: float = C.DEFAULT_MIN_TRANSMITTANCE
     steps_per_round: int = C.MAX_STEPS_INBETWEEN_COMPACTION   # K
-    skip_iters: int = 6          # bounded DDA skips per sample slot
-    init_skip_iters: int = 48    # bounded DDA skips at ray init
+    skip_iters: int = 2          # bounded DDA skips per sample slot
+    init_skip_iters: int = 16    # bounded DDA skips at ray init
     max_rounds: int = C.MARCH_ITER // C.MAX_STEPS_INBETWEEN_COMPACTION
     min_mip: int = 0
     jitter: bool = True
     compute_dtype: str = "bfloat16"
+    # march_frame compaction parameters
+    chunk: int = 1 << 15         # rays per compacted chunk
+    rounds_per_epoch: int = 2    # K-sample rounds between compactions
 
     @property
     def cdtype(self):
@@ -164,50 +174,50 @@ def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
     return t, t_start, alive
 
 
-# ---------------------------------------------------------------------------
-# One tile: full march
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("opts",))
-def march_rays(params, scene, o, d, surface_rgba, t_surface,
-               opts: MarchOptions, sample_index=0):
-    """March one tile of rays to completion.
-
-    o, d: (N, 3); surface_rgba: (N, 4); t_surface: (N,) (0 = no surface).
-    Returns dict(rgba=(N,4) premultiplied, depth=(N,)).
-    """
+def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
+    t0, t_start, alive0 = init_rays(scene, o, d, t_surface,
+                                    surface_rgba[:, 3], opts, sample_index)
     n = o.shape[0]
-    cfg = opts.config
-    K = opts.steps_per_round
-    idir = 1.0 / d
-    has_surface = t_surface > 0.0
-    train_extent = scene["train_max"] - scene["train_min"]
-
-    t0, t_start, alive0 = init_rays(scene, o, d, t_surface, surface_rgba[:, 3],
-                                    opts, sample_index)
-
-    state = {
+    return {
+        # per-ray constants (ride along so compaction can gather them)
+        "o": o, "d": d, "surf": surface_rgba, "t_surf": t_surface,
+        "t_start": t_start,
+        # mutable march state
         "t": t0,
         "rgba": jnp.zeros((n, 4), jnp.float32),
         "depth": jnp.zeros((n,), jnp.float32),
         "max_weight": jnp.zeros((n,), jnp.float32),
         "alive": alive0,
         "surf_a": jnp.where(alive0, surface_rgba[:, 3], 0.0),
-        "round": jnp.int32(0),
     }
 
-    def gen_step(carry, _):
-        """One sample slot: bounded empty-space skip, then (maybe) a sample.
 
-        status: 0 marching, 1 sample found, 2 exited aabb, 3 surface stop.
-        """
+# ---------------------------------------------------------------------------
+# One K-sample round on a ray-state dict (any batch size)
+# ---------------------------------------------------------------------------
+
+def _march_round(st, params, scene, opts: MarchOptions):
+    """Generate up to K samples per ray, evaluate the network, composite.
+    Returns the updated state dict. Semantics per composite_kernel_nerf —
+    see module docstring."""
+    cfg = opts.config
+    K = opts.steps_per_round
+    o, d = st["o"], st["d"]
+    n = o.shape[0]
+    idir = 1.0 / d
+    t_surface = st["t_surf"]
+    surface_rgba = st["surf"]
+    t_start = st["t_start"]
+    has_surface = t_surface > 0.0
+    train_extent = scene["train_max"] - scene["train_min"]
+
+    def gen_step(carry, _):
         t, gen_alive, surf_a = carry
 
         def skip_body(_, sk):
             t, status = sk
             active = status == 0
             pos = o + d * t[:, None]
-            # stop at an *opaque* surface (testbed.cu:600-607)
             surf_stop = has_surface & (t > t_surface) & (surf_a >= 1.0)
             inside = _contains_local(pos, scene)
             dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
@@ -232,112 +242,174 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
         surf_stopped = status == 3
 
         t_out = jnp.where(found, t + dt, jnp.where(surf_stopped, t_surface, t))
-        gen_alive = gen_alive & found
-        sample = {"pos": pos, "dt": dt, "valid": found,
-                  "t_sample": t}
+        gen_alive = gen_alive & (found | (status == 0))
+        sample = {"pos": pos, "dt": dt, "valid": found, "t_sample": t}
         return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
 
-    def round_body(st):
-        t_round_start = st["t"]
-        (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
-            gen_step, (st["t"], st["alive"], st["surf_a"]),
-            None, length=K)
-        # (K, N, ...) stacked outputs
-        exited = exited_k.any(axis=0) & st["alive"]
-        surf_stopped = surfstop_k.any(axis=0) & st["alive"]
-        terminated_early = exited | surf_stopped
+    t_round_start = st["t"]
+    (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
+        gen_step, (st["t"], st["alive"], st["surf_a"]), None, length=K)
+    exited = exited_k.any(axis=0) & st["alive"]
+    surf_stopped = surfstop_k.any(axis=0) & st["alive"]
+    terminated_early = exited | surf_stopped
 
-        # --- network evaluation on the (N*K) masked batch ----------------
-        pos = samples["pos"]                       # (K, N, 3)
-        valid = samples["valid"] & st["alive"][None]  # (K, N)
-        pos01 = (pos - scene["train_min"]) / train_extent
-        pos01 = jnp.where(valid[..., None], pos01, 0.5)
-        dir01 = (d + 1.0) * 0.5                    # (N, 3)
-        dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
-        rgb_raw, sigma_raw = apply_network(
-            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-            compute_dtype=opts.cdtype)
-        rgb_raw = rgb_raw.reshape(K, n, 3)
-        sigma_raw = sigma_raw.reshape(K, n)
+    # --- network evaluation on the (n*K) masked batch --------------------
+    pos = samples["pos"]                          # (K, n, 3)
+    valid = samples["valid"] & st["alive"][None]  # (K, n)
+    pos01 = (pos - scene["train_min"]) / train_extent
+    pos01 = jnp.where(valid[..., None], pos01, 0.5)
+    dir01 = (d + 1.0) * 0.5
+    dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
+    rgb_raw, sigma_raw = apply_network(
+        params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
+        compute_dtype=opts.cdtype)
+    rgb_raw = rgb_raw.reshape(K, n, 3)
+    sigma_raw = sigma_raw.reshape(K, n)
 
-        rgb_s = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-        sigma = apply_density_activation(sigma_raw, cfg.density_activation)
-        alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, N)
+    rgb_s = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+    sigma = apply_density_activation(sigma_raw, cfg.density_activation)
+    alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
 
-        # --- composite ----------------------------------------------------
-        rgba = st["rgba"]
-        comp_alive = st["alive"]
-        surf_a = st["surf_a"]
+    # --- composite --------------------------------------------------------
+    rgba = st["rgba"]
+    comp_alive = st["alive"]
+    surf_a = st["surf_a"]
 
-        # in-march surface blend: fires once, before the round's samples,
-        # for rays whose payload-t has crossed t_surface
-        # (testbed.cu:843-857; payload.t is the post-window t for rays that
-        # filled the window, the pre-window t for rays that exited, and
-        # exactly t_surface for surface-stopped rays)
-        t_payload = jnp.where(exited, t_round_start,
-                              jnp.where(surf_stopped, t_surface, t_end))
-        trigger = comp_alive & has_surface & (t_payload > t_surface) & (surf_a > 0.0)
+    # in-march surface blend: fires once, before the round's samples, for
+    # rays whose payload-t has crossed t_surface (testbed.cu:843-857)
+    t_payload = jnp.where(exited, t_round_start,
+                          jnp.where(surf_stopped, t_surface, t_end))
+    trigger = comp_alive & has_surface & (t_payload > t_surface) & (surf_a > 0.0)
+    T = 1.0 - rgba[:, 3]
+    blend = jnp.concatenate(
+        [surface_rgba[:, :3] * (surf_a * T)[:, None], (surf_a * T)[:, None]],
+        -1)
+    rgba = jnp.where(trigger[:, None], rgba + blend, rgba)
+    surf_a = jnp.where(trigger, 0.0, surf_a)
+    sat = trigger & (rgba[:, 3] > 0.99)
+    rgba = jnp.where(sat[:, None], rgba / jnp.maximum(rgba[:, 3:4], 1e-9),
+                     rgba)
+    comp_alive = comp_alive & ~sat
+
+    def comp_step(carry, inp):
+        rgba, depth, max_w, comp_alive = carry
+        s_valid, alpha, rgb, t_sample = inp
+        use = comp_alive & s_valid
         T = 1.0 - rgba[:, 3]
-        blend_rgb = surface_rgba[:, :3] * (surf_a * T)[:, None]
-        blend_a = surf_a * T
-        rgba = jnp.where(trigger[:, None],
-                         rgba + jnp.concatenate([blend_rgb, blend_a[:, None]], -1),
-                         rgba)
-        surf_a = jnp.where(trigger, 0.0, surf_a)
-        sat = trigger & (rgba[:, 3] > 0.99)
-        rgba = jnp.where(sat[:, None], rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
-        comp_alive = comp_alive & ~sat
+        w = jnp.where(use, alpha * T, 0.0)
+        rgba = rgba + jnp.concatenate([rgb * w[:, None], w[:, None]], axis=-1)
+        upd = w > max_w
+        max_w = jnp.where(upd, w, max_w)
+        depth = jnp.where(upd & use, t_sample, depth)
+        done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
+        rgba = jnp.where(done[:, None],
+                         rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+        comp_alive = comp_alive & ~done
+        return (rgba, depth, max_w, comp_alive), None
 
-        def comp_step(carry, inp):
-            rgba, depth, max_w, comp_alive = carry
-            s_valid, alpha, rgb, t_sample = inp
-            use = comp_alive & s_valid
-            T = 1.0 - rgba[:, 3]
-            w = jnp.where(use, alpha * T, 0.0)
-            rgba = rgba + jnp.concatenate(
-                [rgb * w[:, None], w[:, None]], axis=-1)
-            upd = w > max_w
-            max_w = jnp.where(upd, w, max_w)
-            depth = jnp.where(upd & use, t_sample, depth)
-            done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
-            rgba = jnp.where(done[:, None],
-                             rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
-            comp_alive = comp_alive & ~done
-            return (rgba, depth, max_w, comp_alive), None
+    (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
+        comp_step, (rgba, st["depth"], st["max_weight"], comp_alive),
+        (valid, alpha_k, rgb_s, samples["t_sample"]))
 
-        (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
-            comp_step,
-            (rgba, st["depth"], st["max_weight"], comp_alive),
-            (valid, alpha_k, rgb_s, samples["t_sample"]))
+    # final surface blend for terminated rays (testbed.cu:886-897)
+    fin = comp_alive & terminated_early & (surf_a > 0.0)
+    rem = 1.0 - rgba[:, 3:4]
+    rgba = jnp.where(fin[:, None], rgba + surface_rgba * rem, rgba)
+    comp_alive = comp_alive & ~terminated_early
 
-        # final surface blend for terminated rays (testbed.cu:886-897)
-        fin = comp_alive & terminated_early & (surf_a > 0.0)
-        rem = 1.0 - rgba[:, 3:4]
-        rgba = jnp.where(fin[:, None], rgba + surface_rgba * rem, rgba)
-        comp_alive = comp_alive & ~terminated_early
+    return {**st, "t": t_end, "rgba": rgba, "depth": depth,
+            "max_weight": max_w, "alive": comp_alive, "surf_a": surf_a}
 
-        # rays that made no progress at all this round (still status 0 after
-        # skip budget) stay alive with advanced t — handled implicitly.
-        return {
-            "t": t_end,
-            "rgba": rgba,
-            "depth": depth,
-            "max_weight": max_w,
-            "alive": comp_alive,
-            "surf_a": surf_a,
-            "round": st["round"] + 1,
-        }
+
+def _finalize(st):
+    rgba = st["rgba"]
+    keep = rgba[:, 3] > 0.001   # compact_kernel_nerf's w>0.001 filter
+    rgba = jnp.where(keep[:, None], rgba, 0.0)
+    depth = jnp.where(st["max_weight"] > 0.0, st["depth"], 0.0)
+    return {"rgba": rgba, "depth": depth}
+
+
+# ---------------------------------------------------------------------------
+# Tile API (fixed batch, no compaction) — used by tests / small batches
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("opts",))
+def march_rays(params, scene, o, d, surface_rgba, t_surface,
+               opts: MarchOptions, sample_index=0):
+    """March one tile of rays to completion (masked while_loop)."""
+    st = _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index)
+    st["round"] = jnp.int32(0)
 
     def cond(st):
         return jnp.any(st["alive"]) & (st["round"] < opts.max_rounds)
 
-    final = jax.lax.while_loop(cond, round_body, state)
-    rgba = final["rgba"]
-    # drop sub-threshold contributions (compact_kernel_nerf's w>0.001 filter)
-    keep = rgba[:, 3] > 0.001
-    rgba = jnp.where(keep[:, None], rgba, 0.0)
-    depth = jnp.where(final["max_weight"] > 0.0, final["depth"], 0.0)
-    return {"rgba": rgba, "depth": depth}
+    def body(st):
+        r = st.pop("round")
+        st = _march_round(st, params, scene, opts)
+        st["round"] = r + 1
+        return st
+
+    final = jax.lax.while_loop(cond, body, st)
+    return _finalize(final)
+
+
+# ---------------------------------------------------------------------------
+# Frame API: single dispatch with on-device ray compaction
+# ---------------------------------------------------------------------------
+
+_MUTABLE = ("t", "rgba", "depth", "max_weight", "alive", "surf_a")
+_CONST = ("o", "d", "surf", "t_surf", "t_start")
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def march_frame(params, scene, o, d, surface_rgba, t_surface,
+                opts: MarchOptions, sample_index=0):
+    """March a whole frame in ONE dispatch with periodic on-device
+    compaction. N must be a multiple of opts.chunk."""
+    n = o.shape[0]
+    CH = opts.chunk
+    assert n % CH == 0, (n, CH)
+    st = _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index)
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    epoch_rounds = opts.rounds_per_epoch
+    max_epochs = max(1, opts.max_rounds // epoch_rounds)
+
+    def outer_cond(carry):
+        st, epoch = carry
+        return jnp.any(st["alive"]) & (epoch < max_epochs)
+
+    def outer_body(carry):
+        st, epoch = carry
+        alive = st["alive"]
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+
+        # sort-free stable partition: alive ray ids first
+        pos_alive = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        pos_dead = n_alive + jnp.cumsum((~alive).astype(jnp.int32)) - 1
+        slot = jnp.where(alive, pos_alive, pos_dead)
+        perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+
+        n_chunks = (n_alive + CH - 1) // CH
+
+        def chunk_body(i, st):
+            idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
+            sub = {k: st[k][idx] for k in _MUTABLE + _CONST}
+
+            def round_body(_, sub):
+                return _march_round(sub, params, scene, opts)
+
+            sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
+            for k in _MUTABLE:
+                st[k] = st[k].at[idx].set(sub[k])
+            return st
+
+        st = jax.lax.fori_loop(0, n_chunks, chunk_body, st)
+        return st, epoch + 1
+
+    final, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                  (st, jnp.int32(0)))
+    return _finalize(final)
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +438,6 @@ def collide_march(params, scene, o, d, opts: MarchOptions):
         res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
         adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, dv,
                                             idir, res)
-        # evaluate density only semantics-wise; the batch is tiny
         pos01 = jnp.clip((pos - scene["train_min"]) / train_extent, 0.0, 1.0)
         from nerf_glasses_tpu.ops.network import density_raw
         sigma_raw = density_raw(params, pos01, cfg,
@@ -382,8 +453,8 @@ def collide_march(params, scene, o, d, opts: MarchOptions):
     def cond(st):
         return jnp.any(st[2]) & (st[3] < C.MARCH_ITER)
 
-    t0 = jnp.zeros((n,))
-    state = (t0, jnp.zeros((n,)), jnp.ones((n,), bool), jnp.int32(0))
+    state = (jnp.zeros((n,)), jnp.zeros((n,)), jnp.ones((n,), bool),
+             jnp.int32(0))
     _, dist, _, _ = jax.lax.while_loop(cond, body, state)
     return dist
 
@@ -410,18 +481,16 @@ def camera_rays(camera: np.ndarray, width: int, height: int):
     return o.reshape(-1, 3).astype(np.float32), d.reshape(-1, 3).astype(np.float32)
 
 
-def render_image(params, scene, camera, width: int, height: int,
-                 opts: MarchOptions, surface_rgba=None, t_surface=None,
-                 sample_index: int = 0, tile_size: int = 65536,
-                 linear_colors: bool = False):
-    """Render a full frame -> (framebuffer (H,W,4) linear premultiplied,
-    depth (H,W)). Tiles are marched independently (early exit per tile).
+def render_image_device(params, scene, camera, width: int, height: int,
+                        opts: MarchOptions, surface_rgba=None,
+                        t_surface=None, sample_index: int = 0,
+                        linear_colors: bool = False):
+    """Render a full frame entirely on device (ONE march dispatch) ->
+    (framebuffer (H,W,4) linear premultiplied, depth (H,W)) jnp arrays.
 
     The shade step converts accumulated radiance sRGB->linear unless
     `linear_colors` (shade_kernel_nerf, testbed.cu:907-931).
     """
-    from nerf_glasses_tpu.ops.colors import srgb_to_linear
-
     o, d = camera_rays(camera, width, height)
     npix = o.shape[0]
     if surface_rgba is None:
@@ -430,29 +499,41 @@ def render_image(params, scene, camera, width: int, height: int,
     surface_rgba = np.asarray(surface_rgba, np.float32).reshape(npix, 4)
     t_surface = np.asarray(t_surface, np.float32).reshape(npix)
 
-    rgba_out = []
-    depth_out = []
-    for s in range(0, npix, tile_size):
-        e = min(s + tile_size, npix)
-        pad = tile_size - (e - s)
-        sl = slice(s, e)
+    chunk = min(opts.chunk, 1 << int(np.ceil(np.log2(max(npix, 1)))))
+    if chunk != opts.chunk:
+        opts = dataclasses.replace(opts, chunk=chunk)
+    pad = (-npix) % opts.chunk
+    if pad:
+        o = np.concatenate([o, np.repeat(o[-1:], pad, 0)])
+        d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+        surface_rgba = np.concatenate(
+            [surface_rgba, np.zeros((pad, 4), np.float32)])
+        t_surface = np.concatenate([t_surface, np.zeros(pad, np.float32)])
 
-        def padded(a):
-            if pad == 0:
-                return jnp.asarray(a[sl])
-            # pad by repeating the last ray (keeps directions well-formed)
-            return jnp.asarray(
-                np.concatenate([a[sl], np.repeat(a[e - 1:e], pad, axis=0)], 0))
+    out = march_frame(params, scene, jnp.asarray(o), jnp.asarray(d),
+                      jnp.asarray(surface_rgba), jnp.asarray(t_surface),
+                      opts, sample_index)
+    rgba = out["rgba"][:npix].reshape(height, width, 4)
+    depth = out["depth"][:npix].reshape(height, width)
+    rgba = _shade_frame(rgba, linear_colors)
+    return rgba, depth
 
-        out = march_rays(params, scene, padded(o), padded(d),
-                         padded(surface_rgba), padded(t_surface), opts,
-                         sample_index)
-        rgba_out.append(np.asarray(out["rgba"][: e - s]))
-        depth_out.append(np.asarray(out["depth"][: e - s]))
 
-    rgba = np.concatenate(rgba_out).reshape(height, width, 4)
-    depth = np.concatenate(depth_out).reshape(height, width)
-    if not linear_colors:
-        rgb_lin = np.asarray(srgb_to_linear(jnp.asarray(rgba[..., :3])))
-        rgba = np.concatenate([rgb_lin, rgba[..., 3:]], axis=-1)
-    return rgba.astype(np.float32), depth.astype(np.float32)
+@partial(jax.jit, static_argnames=("linear_colors",))
+def _shade_frame(rgba, linear_colors: bool):
+    from nerf_glasses_tpu.ops.colors import srgb_to_linear
+    if linear_colors:
+        return rgba
+    return jnp.concatenate(
+        [srgb_to_linear(rgba[..., :3]), rgba[..., 3:]], axis=-1)
+
+
+def render_image(params, scene, camera, width: int, height: int,
+                 opts: MarchOptions, surface_rgba=None, t_surface=None,
+                 sample_index: int = 0, linear_colors: bool = False,
+                 tile_size: int = 0):
+    """Host-facing wrapper: render_image_device + one fetch."""
+    rgba, depth = render_image_device(
+        params, scene, camera, width, height, opts, surface_rgba, t_surface,
+        sample_index, linear_colors)
+    return (np.asarray(rgba, np.float32), np.asarray(depth, np.float32))
