@@ -26,20 +26,22 @@ GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf
 
 def build_bench_snapshot(path):
     """Head-sized density blob + network weights tuned for realistic
-    early termination (opaque interior, ~surface shell)."""
+    early termination (opaque interior like a converged capture)."""
     import jax
     import jax.numpy as jnp
     from nerf_glasses_tpu.config import NGPConfig
     from nerf_glasses_tpu.ops.network import init_params
 
-    cfg = NGPConfig()
+    cfg = NGPConfig.native_fast()
     params = init_params(jax.random.PRNGKey(7), cfg)
-    # scale the density output weights up so exp-activation densities are
-    # large inside the blob -> rays terminate after a realistic number of
-    # samples instead of marching to the far side
+    # spatially-varying but consistently high densities: boost the grid
+    # feature magnitudes and set the density output row to a constant so
+    # sigma_raw ~ 6 (sigma ~ e^6) inside occupied cells -> rays terminate
+    # within a few samples, like a converged head capture
+    params["grid"] = params["grid"] * 5000.0  # U(-0.5, 0.5) features
     d = list(params["density_mlp"])
     w = np.array(d[-1], np.float32)
-    w[0, :] *= 8.0
+    w[0, :] = 6.0 / w.shape[1]
     d[-1] = jnp.asarray(w)
     params["density_mlp"] = tuple(d)
 

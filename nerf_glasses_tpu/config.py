@@ -73,6 +73,15 @@ class NGPConfig:
     # Scene
     aabb_scale: int = 1
 
+    # TPU-native fast variant: every level is a power-of-2 hash table of
+    # the same size (coarse levels included). Constant table stride and a
+    # constant AND-mask make the whole encode expressible as a compact
+    # Pallas kernel with the table resident in VMEM. Snapshots written
+    # with this variant carry {"hash": "UniformPow2"} in their encoding
+    # config; tcnn-compatible snapshots (all_hash=False) use the exact
+    # dense-or-hash offset table.
+    all_hash: bool = False
+
     # Activations applied *outside* the MLPs (testbed.cu:325-345).
     density_activation: str = "exponential"
     rgb_activation: str = "logistic"        # "exponential" for HDR datasets
@@ -120,11 +129,15 @@ class NGPConfig:
         for lvl in range(self.n_levels):
             res = grid_resolution(grid_scale(lvl, self.log2_per_level_scale,
                                              self.base_resolution))
-            dense = res ** 3
-            max_params = (2 ** 31)  # uint32 max / 2
-            params_in_level = min(dense, max_params)
-            params_in_level = _next_multiple(params_in_level, 8)
-            params_in_level = min(params_in_level, 1 << self.log2_hashmap_size)
+            if self.all_hash:
+                params_in_level = 1 << self.log2_hashmap_size
+            else:
+                dense = res ** 3
+                max_params = (2 ** 31)  # uint32 max / 2
+                params_in_level = min(dense, max_params)
+                params_in_level = _next_multiple(params_in_level, 8)
+                params_in_level = min(params_in_level,
+                                      1 << self.log2_hashmap_size)
             out.append((offset, params_in_level, res))
             offset += params_in_level
         return tuple(out)
@@ -170,6 +183,7 @@ class NGPConfig:
                 "per_level_scale": self.per_level_scale,
                 "n_pos_dims": 3,
                 "interpolation": "Linear",
+                **({"hash": "UniformPow2"} if self.all_hash else {}),
             },
             "dir_encoding": {"otype": "SphericalHarmonics", "degree": self.sh_degree},
             "network": {
@@ -198,6 +212,25 @@ class NGPConfig:
         }
 
     @staticmethod
+    def native_fast(aabb_scale: int = 1) -> "NGPConfig":
+        """TPU-native fast variant: 8 levels x 4 features (same 32-wide
+        MLP input as the reference's 16x2) with uniform power-of-2 hash
+        tables. Halves the gather count per sample — the renderer's
+        dominant cost on TPU — at near-equal quality (iNGP Tab. 2 shows
+        (L, F) = (8, 4) within ~0.1-0.3 dB of (16, 2) at equal params)."""
+        import math as _math
+        return NGPConfig(
+            n_levels=8,
+            n_features_per_level=4,
+            log2_hashmap_size=15,
+            base_resolution=16,
+            per_level_scale=_math.exp(
+                _math.log(2048.0 * aabb_scale / 16.0) / 7.0),
+            aabb_scale=aabb_scale,
+            all_hash=True,
+        )
+
+    @staticmethod
     def from_snapshot_config(cfg: dict, aabb_scale: int, is_hdr: bool = False) -> "NGPConfig":
         enc = cfg.get("encoding", {})
         net = cfg.get("network", {})
@@ -214,6 +247,7 @@ class NGPConfig:
             log2_hashmap_size=int(enc.get("log2_hashmap_size", 19)),
             base_resolution=base_res,
             per_level_scale=pls,
+            all_hash=enc.get("hash", "CoherentPrime") == "UniformPow2",
             sh_degree=int(dir_enc.get("degree", 4)),
             density_neurons=int(net.get("n_neurons", 64)),
             density_hidden_layers=int(net.get("n_hidden_layers", 1)),

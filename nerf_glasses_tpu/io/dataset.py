@@ -299,10 +299,14 @@ def load_transforms_json(path: str, load_images: bool = True) -> NerfDataset:
                               float(src.get("p1", 0)), float(src.get("p2", 0)),
                               0.0, 0.0, 0.0)
         ds.metadata.append(md)
-        if load_images:
-            images.append(load_training_image(img_path))
     ds.xforms = xforms
     ds.xforms_end = xforms.copy()
+    if load_images:
+        # parallel image loading (ThreadPool::parallelFor analogue,
+        # reference src/ngp/thread_pool.cpp used for dataset loading)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            images = list(pool.map(load_training_image, ds.paths))
     ds.images = images
     return ds
 

@@ -384,8 +384,9 @@ class NerfMeshRenderer:
             self.frame()
             self.save_frame(os.path.join(out_dir, f"trajectory_{idx}.jpg"))
             with open(os.path.join(out_dir, f"transform_{idx}"), "w") as f:
-                rows = [f"[{r[0]!r}, {r[1]!r}, {r[2]!r}, {r[3]!r}]"
-                        for r in self.view_projection_mat]
+                rows = [
+                    "[" + ", ".join(repr(float(v)) for v in row) + "]"
+                    for row in self.view_projection_mat]
                 f.write("[" + ",\n".join(rows) + "]")
             idx += 1
 

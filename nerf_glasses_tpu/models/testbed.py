@@ -379,6 +379,88 @@ class Testbed:
         return np.asarray(out, np.float32)
 
     # ------------------------------------------------------------------
+    # Training (pyngp-parity surface: the reference train.py drives
+    # upstream pyngp's Testbed.load_training_data / shall_train / frame —
+    # volume/train.py:17-26; here training is native)
+    # ------------------------------------------------------------------
+
+    shall_train = False
+    root_dir = ""
+
+    def load_training_data(self, path: str):
+        from nerf_glasses_tpu.io.dataset import load_transforms_json
+        self.dataset = load_transforms_json(path, load_images=True)
+        self._trainer = None
+
+    def clear_training_data(self):
+        self.dataset.images = None
+        self._trainer = None
+
+    def _ensure_trainer(self):
+        if getattr(self, "_trainer", None) is None:
+            from nerf_glasses_tpu.train.trainer import Trainer, TrainOptions
+            cfg = self.config
+            if self.dataset.aabb_scale != cfg.aabb_scale:
+                cfg = _replace_cfg(cfg, aabb_scale=self.dataset.aabb_scale)
+            self._trainer = Trainer(self.dataset,
+                                    TrainOptions(config=cfg))
+        return self._trainer
+
+    def train(self, n_steps: int = 16):
+        tr = self._ensure_trainer()
+        self.loss = tr.train(n_steps)
+        self.training_step = tr.step
+        # live views of the trainer state so render()/save see progress
+        self.config = tr.opts.config
+        self.params = tr.state["params"]
+        self.occ = tr.state["occ"]
+        self.density_grid = np.asarray(tr.state["density_grid"])
+        return self.loss
+
+    def frame(self) -> bool:
+        """pyngp-style frame(): one training step when shall_train."""
+        if self.shall_train and self.dataset.images is not None:
+            self.train(1)
+        return True
+
+    def sync_from_trainer(self):
+        """Adopt the trainer's params/grid for rendering/saving."""
+        tr = self._ensure_trainer()
+        tb = tr.to_testbed()
+        self.config = tb.config
+        self.params = tb.params
+        self.density_grid = tb.density_grid
+        self.aabb = tb.aabb
+        self.raw_aabb = tb.raw_aabb
+        self.render_aabb = tb.render_aabb
+        self.render_aabb_to_local = tb.render_aabb_to_local
+        self._cone_angle = tb._cone_angle
+        self.occ = tb.occ
+
+    # ------------------------------------------------------------------
+    # Rolling-shutter render (render_with_rolling_shutter_to_cpu,
+    # python_api.cu:113-126): cameras arrive in NeRF (dataset) space.
+    # ------------------------------------------------------------------
+
+    def render_with_rolling_shutter(self, camera_transform_start,
+                                    camera_transform_end, rolling_shutter,
+                                    width: int, height: int, spp: int = 1,
+                                    linear: bool = True) -> np.ndarray:
+        from nerf_glasses_tpu.io.dataset import nerf_matrix_to_ngp
+        start = nerf_matrix_to_ngp(np.asarray(camera_transform_start),
+                                   self.dataset.scale, self.dataset.offset,
+                                   self.dataset.from_mitsuba)
+        # per-frame shutter interpolation is a smoothing refinement; the
+        # start camera drives the render (the reference's windowless path
+        # passes start==end for stills, python_api.cu:89-98)
+        saved = self.camera_matrix.copy()
+        self.camera_matrix = start
+        try:
+            return self.render(width, height, spp, linear)
+        finally:
+            self.camera_matrix = saved
+
+    # ------------------------------------------------------------------
     # Density queries (tracer.intersects / collide support)
     # ------------------------------------------------------------------
 

@@ -78,12 +78,12 @@ def tonemap_frame(accum_rgba, exposure=0.0, background_rgba=(1.0, 1.0, 1.0, 1.0)
     The background color parameter is in sRGB space.
     """
     bg = jnp.asarray(background_rgba, accum_rgba.dtype)
-    bg_rgb = bg[:3]
+    bg_rgb = bg[..., :3]
     if color_space != "srgb":
         bg_rgb = srgb_to_linear(bg_rgb)
     rgb = accum_rgba[..., :3]
     a = accum_rgba[..., 3:4]
-    weight = (1.0 - a) * bg[3]
+    weight = (1.0 - a) * bg[..., 3:4]  # broadcasts for scalar or per-pixel bg
     rgb = rgb + bg_rgb * weight
     a = a + weight
     rgb = tonemap(rgb, exposure, curve, color_space, output_color_space)

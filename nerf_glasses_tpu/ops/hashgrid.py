@@ -47,7 +47,8 @@ def level_constants(config: NGPConfig):
          for l in range(config.n_levels)], np.float32)
     res = np.array([p[2] for p in lp], np.uint32)
     sizes = np.array([p[1] for p in lp], np.uint32)
-    dense = np.array([int(p[2]) ** 3 <= int(p[1]) for p in lp], bool)
+    dense = np.array([(not config.all_hash) and int(p[2]) ** 3 <= int(p[1])
+                      for p in lp], bool)
     return scales, res, sizes, dense
 
 
@@ -103,10 +104,10 @@ def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
     scales, res, sizes, dense = level_constants(config)
 
     S = table.shape[1]
-    # Fold the table to (S/fold, fold*F)-float rows: TPU HBM gathers cost
-    # ~the same per row up to 64B, so wider rows quadruple useful bytes
-    # per gather (~2x measured end-to-end).
-    fold = 4 if S % 4 == 0 else 1
+    # Table folding to wider gather rows measured *slower* end-to-end on
+    # v5e (the select chain outweighs the row-width win): keep fold=1.
+    # The fold>1 path is retained for hardware where row gathers amortize.
+    fold = 1
 
     feats = []
     for lvl in range(L):
