@@ -34,14 +34,22 @@ def build_bench_snapshot(path):
 
     cfg = NGPConfig.native_fast()
     params = init_params(jax.random.PRNGKey(7), cfg)
-    # spatially-varying but consistently high densities: boost the grid
-    # feature magnitudes and set the density output row to a constant so
-    # sigma_raw ~ 6 (sigma ~ e^6) inside occupied cells -> rays terminate
-    # within a few samples, like a converged head capture
+    # spatially-varying but consistently high densities, calibrated so a
+    # ray inside the blob reaches opacity within ~10-15 samples, like a
+    # converged head capture: boost the grid features, then rescale the
+    # density output row so the median sigma_raw ~ 6 (sigma ~ e^6)
     params["grid"] = params["grid"] * 5000.0  # U(-0.5, 0.5) features
     d = list(params["density_mlp"])
     w = np.array(d[-1], np.float32)
-    w[0, :] = 6.0 / w.shape[1]
+    w[0, :] = 1.0 / w.shape[1]
+    d[-1] = jnp.asarray(w)
+    params["density_mlp"] = tuple(d)
+    from nerf_glasses_tpu.ops.network import density_raw
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (4096, 3),
+                             minval=0.3, maxval=0.7)
+    raw = np.asarray(density_raw(params, pos, cfg)[:, 0])
+    med = float(np.median(np.abs(raw))) or 1.0
+    w[0, :] = (6.0 / med) / w.shape[1]
     d[-1] = jnp.asarray(w)
     params["density_mlp"] = tuple(d)
 
@@ -82,6 +90,10 @@ def main():
 
     renderer = nmr.NerfMeshRenderer(W, H)
     nerf = renderer.load_nerf(snap)
+    # tight render aabb around the head, as the reference flow does
+    # (render.py:234-235)
+    nerf.render_aabb.min = np.array([0.2, 0.15, 0.2], np.float32)
+    nerf.render_aabb.max = np.array([0.8, 0.9, 0.8], np.float32)
     if os.path.exists(GLASSES):
         renderer.load_mesh(GLASSES, t=[0.0, 0.05, 0.18],
                            s=[0.12, 0.12, 0.12])

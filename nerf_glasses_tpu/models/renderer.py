@@ -60,6 +60,9 @@ class NerfMeshRenderer:
         self._fps_frames = 0
         self.fps = 0.0
         self._closed = False
+        from nerf_glasses_tpu.utils.meters import Ema
+        self.frame_ms = Ema("time", 1000.0)   # Testbed::m_frame_ms analogue
+        self.render_ms = Ema("time", 1000.0)
 
     # ------------------------------------------------------------------
     # Camera
@@ -143,7 +146,11 @@ class NerfMeshRenderer:
         while the renderer is 'open' (headless: always, until close())."""
         if self._closed:
             return False
+        t0 = time.monotonic()
         self.render_frame()
+        dt_ms = (time.monotonic() - t0) * 1000.0
+        self.render_ms.update(dt_ms)
+        self.frame_ms.update(dt_ms)
         self._frame_count += 1
         self._fps_frames += 1
         now = time.monotonic()

@@ -63,8 +63,14 @@ class MarchOptions:
     cone_angle: float = 0.0
     min_transmittance: float = C.DEFAULT_MIN_TRANSMITTANCE
     steps_per_round: int = C.MAX_STEPS_INBETWEEN_COMPACTION   # K
-    skip_iters: int = 2          # bounded DDA skips per sample slot
-    init_skip_iters: int = 16    # bounded DDA skips at ray init
+    # Empty-space DDA budget per sample slot. Occupancy lookups are ~60x
+    # cheaper than a network sample (1 gather vs levels*8), so a generous
+    # budget lets rays cross empty stretches without burning network
+    # rounds (the CUDA reference's unbounded per-thread skip loop,
+    # testbed.cu:600-625, has zero marginal cost; this is the masked
+    # equivalent trade-off).
+    skip_iters: int = 12
+    init_skip_iters: int = 48    # bounded DDA skips at ray init
     max_rounds: int = C.MARCH_ITER // C.MAX_STEPS_INBETWEEN_COMPACTION
     min_mip: int = 0
     jitter: bool = True
@@ -107,8 +113,13 @@ def _contains_local(pos, scene):
 
 
 def _occupied(scene, pos, dt, opts: MarchOptions):
-    mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
-    mip = jnp.maximum(mip, opts.min_mip)
+    if opts.config.max_cascade == 0 and opts.min_mip == 0:
+        # unit-cube scene (the reference default): single cascade, no
+        # mip math needed
+        mip = jnp.zeros(pos.shape[:-1], jnp.int32)
+    else:
+        mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
+        mip = jnp.maximum(mip, opts.min_mip)
     return occ_ops.occupied_at(scene["occ"], pos, mip), mip
 
 

@@ -182,7 +182,12 @@ def _raycast_chunked(o, d, v0, e1, e2, chunk: int, cull_backfaces: bool):
         qvec = jnp.cross(tvec, ce1[None])
         v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
         t = jnp.sum(ce2[None] * qvec, axis=-1) * inv_det
-        hit = (valid & (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t > 1e-4))
+        # slightly padded acceptance so rays on shared triangle edges
+        # cannot fall through the crack (OptiX traversal is watertight;
+        # plain Möller-Trumbore is not)
+        eps = 1e-5
+        hit = (valid & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+               & (t > 1e-4))
         t = jnp.where(hit, t, _BIG)
         arg = jnp.argmin(t, axis=-1)
         tmin = jnp.take_along_axis(t, arg[:, None], -1)[:, 0]
@@ -371,8 +376,12 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
         e = min(s + ray_tile, npix)
         ot = o[s:e]
         dt_ = d[s:e].astype(np.float32)
-        if e - s < ray_tile and s > 0:  # uniform tile shapes -> one compile
-            pad = ray_tile - (e - s)
+        # uniform tile shapes (one compile) + 1024-multiple for the
+        # Pallas kernel's ray blocks
+        target = ray_tile if (s > 0 or e - s == ray_tile) \
+            else ((e - s + 1023) // 1024) * 1024
+        if e - s < target:
+            pad = target - (e - s)
             ot = np.concatenate([ot, np.repeat(ot[-1:], pad, 0)])
             dt_ = np.concatenate([dt_, np.repeat(dt_[-1:], pad, 0)])
         c, z = tile_fn(jnp.asarray(ot), jnp.asarray(dt_), xf, nm, light, eye)
@@ -383,12 +392,24 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
     return color, depth
 
 
+def _use_pallas_raycast() -> bool:
+    import os
+    if os.environ.get("NMR_MESH_PALLAS", "auto") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _get_tile_fn(mesh: MeshArrays, tri_chunk: int):
     """Per-mesh jitted trace+shade tile function. Geometry is closed over
     as constants (object space, never changes); instance transforms are
-    runtime arguments so mesh placement never recompiles."""
-    fn = mesh._tile_cache.get(tri_chunk)
+    runtime arguments so mesh placement never recompiles. On TPU the
+    intersection runs in the Pallas kernel (ops/mesh_pallas.py)."""
+    use_pallas = _use_pallas_raycast()
+    key = (tri_chunk, use_pallas)
+    fn = mesh._tile_cache.get(key)
     if fn is None:
+        n_tris = mesh.n_tris
+
         def f(o, d, xforms, nrm_mats, light, eye):
             # object -> world triangles via per-triangle instance transform
             rot = xforms[mesh.inst_id, :, :3]            # (T, 3, 3)
@@ -396,8 +417,14 @@ def _get_tile_fn(mesh: MeshArrays, tri_chunk: int):
             v0 = jnp.einsum("tij,tj->ti", rot, mesh.v0) + trans
             e1 = jnp.einsum("tij,tj->ti", rot, mesh.e1)
             e2 = jnp.einsum("tij,tj->ti", rot, mesh.e2)
-            t, tri, uv = _raycast_chunked(o, d, v0, e1, e2, tri_chunk,
-                                          cull_backfaces=True)
+            if use_pallas:
+                from nerf_glasses_tpu.ops.mesh_pallas import raycast_pallas
+                tri_scalars = jnp.concatenate([v0, e1, e2], axis=1)
+                t, tri, uu, vv = raycast_pallas(tri_scalars, o, d, n_tris)
+                uv = jnp.stack([uu, vv], axis=-1)
+            else:
+                t, tri, uv = _raycast_chunked(o, d, v0, e1, e2, tri_chunk,
+                                              cull_backfaces=True)
             rgb = shade_hits(mesh, o, d, t, tri, uv, nrm_mats, light, eye)
             hit = tri >= 0
             # sRGB encode + clamp before compositing (optix_scene.cu:161-165)
@@ -408,7 +435,7 @@ def _get_tile_fn(mesh: MeshArrays, tri_chunk: int):
             return color, depth
 
         fn = jax.jit(f)
-        mesh._tile_cache[tri_chunk] = fn
+        mesh._tile_cache[key] = fn
     return fn
 
 
