@@ -41,15 +41,16 @@ def _kernel(tri_ref, o_ref, d_ref, t_ref, idx_ref, u_ref, v_ref, *,
 
     def body(i, carry):
         best_t, best_i, best_u, best_v = carry
-        v0x = tri_ref[i, 0]
-        v0y = tri_ref[i, 1]
-        v0z = tri_ref[i, 2]
-        e1x = tri_ref[i, 3]
-        e1y = tri_ref[i, 4]
-        e1z = tri_ref[i, 5]
-        e2x = tri_ref[i, 6]
-        e2y = tri_ref[i, 7]
-        e2z = tri_ref[i, 8]
+        base = i * 9
+        v0x = tri_ref[base + 0]
+        v0y = tri_ref[base + 1]
+        v0z = tri_ref[base + 2]
+        e1x = tri_ref[base + 3]
+        e1y = tri_ref[base + 4]
+        e1z = tri_ref[base + 5]
+        e2x = tri_ref[base + 6]
+        e2y = tri_ref[base + 7]
+        e2z = tri_ref[base + 8]
 
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -105,7 +106,7 @@ def raycast_pallas(tri_scalars: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((tri_scalars.shape[0], 9), lambda i: (0, 0),
+            pl.BlockSpec((tri_scalars.shape[0] * 9,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, ROWS, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -124,6 +125,6 @@ def raycast_pallas(tri_scalars: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
         ],
         out_shape=[shape, ishape, shape, shape],
         interpret=interpret,
-    )(tri_scalars, o_planes, d_planes)
+    )(tri_scalars.reshape(-1), o_planes, d_planes)
     t, idx, u, v = out
     return (t.reshape(N), idx.reshape(N), u.reshape(N), v.reshape(N))

@@ -63,14 +63,12 @@ class MarchOptions:
     cone_angle: float = 0.0
     min_transmittance: float = C.DEFAULT_MIN_TRANSMITTANCE
     steps_per_round: int = C.MAX_STEPS_INBETWEEN_COMPACTION   # K
-    # Empty-space DDA budget per sample slot. Occupancy lookups are ~60x
-    # cheaper than a network sample (1 gather vs levels*8), so a generous
-    # budget lets rays cross empty stretches without burning network
-    # rounds (the CUDA reference's unbounded per-thread skip loop,
-    # testbed.cu:600-625, has zero marginal cost; this is the masked
-    # equivalent trade-off).
-    skip_iters: int = 12
-    init_skip_iters: int = 48    # bounded DDA skips at ray init
+    # Empty-space DDA budget per sample slot during network rounds (small
+    # gaps only; long stretches are crossed by the per-epoch advance pass
+    # at occupancy-gather cost, ~60x cheaper than network samples).
+    skip_iters: int = 3
+    init_skip_iters: int = 16    # bounded DDA skips at ray init
+    advance_iters: int = 48      # per-epoch compacted advance pass
     max_rounds: int = C.MARCH_ITER // C.MAX_STEPS_INBETWEEN_COMPACTION
     min_mip: int = 0
     jitter: bool = True
@@ -201,6 +199,49 @@ def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
         "alive": alive0,
         "surf_a": jnp.where(alive0, surface_rgba[:, 3], 0.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Advance pass: move rays through empty space to the next occupied voxel
+# without spending network rounds (advance_pos_nerf semantics,
+# testbed.cu:470-537, applied per compaction epoch on the compacted
+# chunk). Rays exiting the aabb with no pending surface die here; rays
+# with a pending surface are parked at t_surface for the round logic.
+# ---------------------------------------------------------------------------
+
+def _advance_pass(st, scene, opts: MarchOptions, iters: int):
+    o, d = st["o"], st["d"]
+    idir = 1.0 / d
+    t_surface = st["t_surf"]
+    has_surface = t_surface > 0.0
+
+    surf_live = has_surface & (st["surf_a"] > 0.0)
+
+    def body(_, carry):
+        t, alive, settled = carry
+        active = ~settled & alive
+        pos = o + d * t[:, None]
+        surf_pending = surf_live & (t >= t_surface)
+        inside = _contains_local(pos, scene)
+        dt = occ_ops.calc_dt(t - st["t_start"], opts.cone_angle)
+        occ, mip = _occupied(scene, pos, dt, opts)
+        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                            idir, res)
+        # park at t_surface (rounds composite the surface), die on clean
+        # exit, stop at occupancy
+        newly_park = active & (surf_pending | (~inside & surf_live))
+        newly_exit = active & ~surf_pending & ~inside & ~surf_live
+        newly_hit = active & ~surf_pending & inside & occ
+        t = jnp.where(newly_park, t_surface, t)
+        alive = alive & ~newly_exit
+        settled = settled | newly_park | newly_hit | ~alive
+        t = jnp.where(~settled & alive, adv, t)
+        return t, alive, settled
+
+    t, alive, _ = jax.lax.fori_loop(
+        0, iters, body, (st["t"], st["alive"], ~st["alive"]))
+    return {**st, "t": t, "alive": alive}
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +447,9 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
         def chunk_body(i, st):
             idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
             sub = {k: st[k][idx] for k in _MUTABLE + _CONST}
+            # cross empty space on occupancy lookups alone, then spend
+            # network rounds only on rays parked at occupied cells
+            sub = _advance_pass(sub, scene, opts, opts.advance_iters)
 
             def round_body(_, sub):
                 return _march_round(sub, params, scene, opts)
