@@ -20,7 +20,7 @@ import numpy as np
 
 W, H = 1280, 720
 N_WARMUP = 2
-N_FRAMES = 8
+N_FRAMES = 3
 GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf"
 
 
@@ -79,11 +79,14 @@ def build_bench_snapshot(path):
 
 
 def main():
-    import pynmr as nmr
-
+    import jax
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "assets", "cache")
-    os.makedirs(cache, exist_ok=True)
+    os.makedirs(os.path.join(cache, "jaxcache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache, "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import pynmr as nmr
     snap = os.path.join(cache, "bench_head.msgpack")
     if not os.path.exists(snap):
         build_bench_snapshot(snap)
@@ -95,12 +98,12 @@ def main():
     nerf.render_aabb.min = np.array([0.2, 0.15, 0.2], np.float32)
     nerf.render_aabb.max = np.array([0.8, 0.9, 0.8], np.float32)
     if os.path.exists(GLASSES):
-        renderer.load_mesh(GLASSES, t=[0.0, 0.05, 0.18],
-                           s=[0.12, 0.12, 0.12])
+        renderer.load_mesh(GLASSES, t=[0.0, 0.1, 0.22],
+                           s=[0.25, 0.25, 0.25])
 
     renderer.orbit(0.4, -0.1, 0)
 
-    # warmup (compiles)
+    # warmup (first frame compiles; slow through remote-compile tunnels)
     for _ in range(N_WARMUP):
         renderer.frame()
         renderer.orbit(0.01, 0.0, 0)

@@ -25,7 +25,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024
+# Large ray blocks amortize the per-triangle scalar loads / loop
+# overhead (~10^3 cycles per iteration) over many rays.
+BLOCK = 8192
 ROWS = BLOCK // 128
 _BIG = np.float32(1e16)
 
@@ -90,9 +92,9 @@ def _kernel(tri_ref, o_ref, d_ref, t_ref, idx_ref, u_ref, v_ref, *,
 def raycast_pallas(tri_scalars: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
                    n_tris: int, interpret: bool = False):
     """tri_scalars: (T, 9) float32 [v0 | e1 | e2] (world space);
-    o, d: (N, 3), N % 1024 == 0. -> (t, tri_idx, u, v) each (N,)."""
+    o, d: (N, 3), N % BLOCK == 0. -> (t, tri_idx, u, v) each (N,)."""
     N = o.shape[0]
-    assert N % BLOCK == 0
+    assert N % BLOCK == 0, (N, BLOCK)
     n_blocks = N // BLOCK
 
     o_planes = o.T.reshape(3, n_blocks, ROWS, 128).swapaxes(0, 1)
@@ -126,5 +128,117 @@ def raycast_pallas(tri_scalars: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
         out_shape=[shape, ishape, shape, shape],
         interpret=interpret,
     )(tri_scalars.reshape(-1), o_planes, d_planes)
+    t, idx, u, v = out
+    return (t.reshape(N), idx.reshape(N), u.reshape(N), v.reshape(N))
+
+
+# ---------------------------------------------------------------------------
+# Screen-tile culled variant: the TPU analogue of the reference's OptiX
+# acceleration structure. Rays arrive pre-grouped into screen tiles; each
+# tile carries a list of candidate triangle ids (built by bbox binning in
+# ops/triangles.py) and the kernel's fori trip count is the tile's actual
+# candidate count, so empty tiles cost ~nothing.
+# ---------------------------------------------------------------------------
+
+def _tiled_kernel(counts_ref, tri_ref, list_ref, o_ref, d_ref,
+                  t_ref, idx_ref, u_ref, v_ref):
+    b = pl.program_id(0)
+    ox = o_ref[0, 0]
+    oy = o_ref[0, 1]
+    oz = o_ref[0, 2]
+    dx = d_ref[0, 0]
+    dy = d_ref[0, 1]
+    dz = d_ref[0, 2]
+
+    def body(j, carry):
+        best_t, best_i, best_u, best_v = carry
+        tri_id = list_ref[0, j]
+        base = tri_id * 9
+        v0x = tri_ref[base + 0]
+        v0y = tri_ref[base + 1]
+        v0z = tri_ref[base + 2]
+        e1x = tri_ref[base + 3]
+        e1y = tri_ref[base + 4]
+        e1z = tri_ref[base + 5]
+        e2x = tri_ref[base + 6]
+        e2y = tri_ref[base + 7]
+        e2z = tri_ref[base + 8]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        valid = det > 1e-9
+        inv = 1.0 / jnp.where(valid, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        eps = 1e-5
+        hit = (valid & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+               & (t > 1e-4) & (t < best_t))
+        best_i = jnp.where(hit, tri_id, best_i)
+        best_u = jnp.where(hit, u, best_u)
+        best_v = jnp.where(hit, v, best_v)
+        best_t = jnp.where(hit, t, best_t)
+        return best_t, best_i, best_u, best_v
+
+    shape = (ROWS, 128)
+    init = (jnp.full(shape, _BIG), jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape), jnp.zeros(shape))
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+        0, counts_ref[b], body, init)
+    t_ref[0] = best_t
+    idx_ref[0] = best_i
+    u_ref[0] = best_u
+    v_ref[0] = best_v
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def raycast_pallas_tiled(tri_scalars: jnp.ndarray, o: jnp.ndarray,
+                         d: jnp.ndarray, tile_lists: jnp.ndarray,
+                         tile_counts: jnp.ndarray, interpret: bool = False):
+    """tri_scalars: (T, 9); o, d: (N, 3) grouped in BLOCK-sized tiles;
+    tile_lists: (N/BLOCK, T) i32 candidate ids (front-packed);
+    tile_counts: (N/BLOCK,) i32. -> (t, tri_idx, u, v) each (N,)."""
+    N = o.shape[0]
+    assert N % BLOCK == 0, (N, BLOCK)
+    n_blocks = N // BLOCK
+    T = tri_scalars.shape[0]
+
+    o_planes = o.T.reshape(3, n_blocks, ROWS, 128).swapaxes(0, 1)
+    d_planes = d.T.reshape(3, n_blocks, ROWS, 128).swapaxes(0, 1)
+
+    shape = jax.ShapeDtypeStruct((n_blocks, ROWS, 128), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((n_blocks, ROWS, 128), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((T * 9,), lambda i, c: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T), lambda i, c: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, ROWS, 128), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, ROWS, 128), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROWS, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM)] * 4,
+    )
+    out = pl.pallas_call(
+        _tiled_kernel,
+        grid_spec=grid_spec,
+        out_shape=[shape, ishape, shape, shape],
+        interpret=interpret,
+    )(tile_counts.astype(jnp.int32), tri_scalars.reshape(-1),
+      tile_lists.astype(jnp.int32), o_planes, d_planes)
     t, idx, u, v = out
     return (t.reshape(N), idx.reshape(N), u.reshape(N), v.reshape(N))

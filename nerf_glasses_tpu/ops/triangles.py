@@ -346,6 +346,69 @@ def shade_hits(mesh: MeshArrays, o, d, t, tri, uv_bary, nrm_mats,
 # Full mesh pass
 # ---------------------------------------------------------------------------
 
+def render_mesh_pass_tiled(mesh: MeshArrays, xforms, nrm_mats,
+                           camera: np.ndarray, width: int, height: int,
+                           light_pos):
+    """Tile-culled Pallas mesh pass: bin triangles to screen tiles by
+    projected bbox, trace each tile against only its candidates (the TPU
+    analogue of the reference's OptiX IAS/GAS traversal), shade, return
+    (color (H,W,4) sRGB+coverage, depth (H,W))."""
+    cam = np.asarray(camera, np.float32)
+    wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
+    hp = ((height + TILE_H - 1) // TILE_H) * TILE_H
+    x = (np.arange(wp, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
+    y = (np.arange(hp, dtype=np.float32) + 0.5) / height * 2.0 - 1.0
+    xx, yy = np.meshgrid(x, y)
+    ndc = np.stack([xx, yy, np.ones_like(xx)], -1)
+    d = ndc @ cam[:, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam[:, 3], d.shape).astype(np.float32)
+    d_t = _tile_order(d.astype(np.float32), wp, hp, 3)
+    o_t = _tile_order(o, wp, hp, 3)
+    cam3_inv = np.linalg.inv(cam[:, :3]).astype(np.float32)
+
+    fn = _get_tiled_fn(mesh, width, height, wp, hp)
+    color, depth = fn(jnp.asarray(o_t), jnp.asarray(d_t),
+                      jnp.asarray(xforms), jnp.asarray(nrm_mats),
+                      jnp.asarray(light_pos, jnp.float32),
+                      jnp.asarray(cam[:, 3]), jnp.asarray(cam3_inv))
+    color = _tile_unorder(np.asarray(color), wp, hp)[:height, :width]
+    depth = _tile_unorder(np.asarray(depth)[:, None], wp, hp)[
+        :height, :width, 0]
+    return color, depth
+
+
+def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
+                  hp: int):
+    key = ("tiled", width, height, wp, hp)
+    fn = mesh._tile_cache.get(key)
+    if fn is None:
+        def f(o, d, xforms, nrm_mats, light, eye, cam3_inv):
+            from nerf_glasses_tpu.ops.mesh_pallas import raycast_pallas_tiled
+            rot = xforms[mesh.inst_id, :, :3]
+            trans = xforms[mesh.inst_id, :, 3]
+            v0 = jnp.einsum("tij,tj->ti", rot, mesh.v0) + trans
+            e1 = jnp.einsum("tij,tj->ti", rot, mesh.e1)
+            e2 = jnp.einsum("tij,tj->ti", rot, mesh.e2)
+            lists, counts = _bin_triangles(v0, e1, e2, eye, cam3_inv,
+                                           width, height, wp, hp)
+            tri_scalars = jnp.concatenate([v0, e1, e2], axis=1)
+            t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o, d, lists,
+                                                  counts)
+            uv = jnp.stack([uu, vv], axis=-1)
+            rgb = shade_hits(mesh, o, d, t, tri, uv, nrm_mats, light, eye)
+            hit = tri >= 0
+            rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
+            color = jnp.concatenate(
+                [rgb, hit[:, None].astype(jnp.float32)], -1)
+            depth = jnp.where(hit, t, 0.0)
+            return color, depth
+
+        fn = jax.jit(f)
+        mesh._tile_cache[key] = fn
+    return fn
+
+
 def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
                      camera: np.ndarray, width: int, height: int, light_pos,
                      tri_chunk: int = 256, ray_tile: int = 262144):
@@ -355,6 +418,9 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
     Returns (color (H,W,4) float32: sRGB-encoded rgb + coverage alpha,
              depth (H,W): hit distance along the unit ray, 0 on miss).
     """
+    if _use_pallas_raycast():
+        return render_mesh_pass_tiled(mesh, xforms, nrm_mats, camera,
+                                      width, height, light_pos)
     cam = np.asarray(camera, np.float32)
     x = (np.arange(width, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
     y = (np.arange(height, dtype=np.float32) + 0.5) / height * 2.0 - 1.0
@@ -376,10 +442,11 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
         e = min(s + ray_tile, npix)
         ot = o[s:e]
         dt_ = d[s:e].astype(np.float32)
-        # uniform tile shapes (one compile) + 1024-multiple for the
+        # uniform tile shapes (one compile) + block-multiple for the
         # Pallas kernel's ray blocks
+        from nerf_glasses_tpu.ops.mesh_pallas import BLOCK as _MB
         target = ray_tile if (s > 0 or e - s == ray_tile) \
-            else ((e - s + 1023) // 1024) * 1024
+            else ((e - s + _MB - 1) // _MB) * _MB
         if e - s < target:
             pad = target - (e - s)
             ot = np.concatenate([ot, np.repeat(ot[-1:], pad, 0)])
@@ -390,6 +457,58 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
     color = np.concatenate(colors).reshape(height, width, 4)
     depth = np.concatenate(depths).reshape(height, width)
     return color, depth
+
+
+TILE_W, TILE_H = 128, 64  # screen tile = one kernel ray block (8192 px)
+
+
+def _bin_triangles(v0, e1, e2, eye, cam3_inv, width: int, height: int,
+                   wp: int, hp: int):
+    """Conservative screen-space bbox binning -> (tile_lists (n_tiles, T)
+    front-packed ids, counts (n_tiles,)). Triangles with any vertex at or
+    behind the eye plane go to every tile. Projection uses the *logical*
+    width/height (pixel i maps to ndc 2(i+.5)/width - 1 regardless of the
+    tile padding)."""
+    verts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)      # (T, 3, 3)
+    rel = verts - eye
+    ndc = jnp.einsum("ij,tvj->tvi", cam3_inv, rel)          # (T, 3v, 3)
+    z = ndc[..., 2]
+    behind = jnp.any(z <= 1e-6, axis=1)                     # (T,)
+    zs = jnp.where(z <= 1e-6, 1.0, z)
+    px = (ndc[..., 0] / zs * 0.5 + 0.5) * width
+    py = (ndc[..., 1] / zs * 0.5 + 0.5) * height
+    pad = 1.0
+    xmin = jnp.where(behind, 0.0, px.min(1) - pad)
+    xmax = jnp.where(behind, float(wp), px.max(1) + pad)
+    ymin = jnp.where(behind, 0.0, py.min(1) - pad)
+    ymax = jnp.where(behind, float(hp), py.max(1) + pad)
+
+    ntx = wp // TILE_W
+    nty = hp // TILE_H
+    tx0 = (jnp.arange(ntx) * TILE_W).astype(jnp.float32)
+    ty0 = (jnp.arange(nty) * TILE_H).astype(jnp.float32)
+    ox = (xmax[None, :] >= tx0[:, None]) & \
+         (xmin[None, :] <= tx0[:, None] + TILE_W)           # (ntx, T)
+    oy = (ymax[None, :] >= ty0[:, None]) & \
+         (ymin[None, :] <= ty0[:, None] + TILE_H)           # (nty, T)
+    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(ntx * nty, -1)
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    # front-pack overlapping triangle ids (stable sort: ids ascending)
+    order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    return order, counts
+
+
+def _tile_order(a: np.ndarray, wp: int, hp: int, ch: int):
+    """(hp, wp, C) -> (n_tiles*8192, C) grouped by screen tile."""
+    return (a.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W, ch)
+            .transpose(0, 2, 1, 3, 4).reshape(-1, ch))
+
+
+def _tile_unorder(a: np.ndarray, wp: int, hp: int):
+    """Inverse of _tile_order for (N, C) arrays."""
+    ch = a.shape[-1]
+    return (a.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, ch)
+            .transpose(0, 2, 1, 3, 4).reshape(hp, wp, ch))
 
 
 def _use_pallas_raycast() -> bool:
