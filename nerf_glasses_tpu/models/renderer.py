@@ -164,6 +164,9 @@ class NerfMeshRenderer:
         self._closed = True
 
     def render_frame(self):
+        """Fully device-resident: the mesh pass output feeds the march
+        without touching the host; only display_image()/save_frame()
+        fetch pixels."""
         w, h = self.render_width, self.render_height
 
         # 1+2: mesh pass -> per-pixel surface payloads
@@ -173,8 +176,9 @@ class NerfMeshRenderer:
                                                  self._meshes)
             color, depth = tri_ops.render_mesh_pass(
                 self._mesh_arrays, xf, nm, self.view_projection_mat,
-                w * f, h * f, self.light_pos)
-            surf_c, surf_t = tri_ops.downsample_surface(color, depth, f)
+                w * f, h * f, self.light_pos, device_out=True)
+            surf_c, surf_t = tri_ops.downsample_surface(
+                jnp.asarray(color), jnp.asarray(depth), f)
             self._nerfs[0].set_surface_buffers(
                 surf_c.reshape(-1, 4), surf_t.reshape(-1), w, h)
         elif self._nerfs:
@@ -191,21 +195,20 @@ class NerfMeshRenderer:
             nerf.camera_matrix = self.view_projection_mat.copy()
             fb, db = nerf.render_frame_buffers(w, h,
                                                sample_index=nerf._spp)
-            nerf._accum = np.asarray(accumulate(
-                jnp.zeros_like(jnp.asarray(fb)) if nerf._accum is None
+            nerf._accum = accumulate(
+                jnp.zeros_like(fb) if nerf._accum is None
                 else jnp.asarray(nerf._accum),
-                jnp.asarray(fb), nerf._spp, nerf.color_space))
+                fb, nerf._spp, nerf.color_space)
             nerf._spp += 1
             buffers.append((fb, db))
 
-        # 4: combine (first NeRF's buffers + nearest-depth merge of others)
+        # 4: combine (first NeRF's buffers + nearest-depth merge of others;
+        # combineBuffersKernel, nerf_mesh_renderer.cu:34-48)
         frame, depth = buffers[0]
-        frame = frame.copy()
-        depth = depth.copy()
         for fb, db in buffers[1:]:
             closer = db < depth
-            frame[closer] = fb[closer]
-            depth[closer] = db[closer]
+            frame = jnp.where(closer[..., None], fb, frame)
+            depth = jnp.where(closer, db, depth)
         self._frame_buffer = frame
         self._depth_buffer = depth
 

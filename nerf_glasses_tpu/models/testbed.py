@@ -345,7 +345,8 @@ class Testbed:
 
     def render_frame_buffers(self, width: int, height: int,
                              sample_index: int = 0):
-        """One sample: -> (frame (H,W,4) linear premultiplied, depth)."""
+        """One sample: -> (frame (H,W,4) linear premultiplied, depth),
+        device-resident jnp arrays."""
         if self.params is None:
             raise RuntimeError("no snapshot loaded")
         surface_rgba = None
@@ -353,7 +354,7 @@ class Testbed:
         if self._surface_rgba is not None and self._surface_res == (width, height):
             surface_rgba = self._surface_rgba
             t_surface = self._surface_t
-        return raymarch.render_image(
+        return raymarch.render_image_device(
             self.params, self._scene(), self.camera_matrix, width, height,
             self._march_options(), surface_rgba, t_surface, sample_index,
             linear_colors=self._training_view.linear_colors)
@@ -362,17 +363,18 @@ class Testbed:
                linear: bool = True) -> np.ndarray:
         """Offscreen render -> (H, W, 4) float numpy, matching
         Testbed::render_to_cpu (python_api.cu:83-111): resets accumulation,
-        accumulates spp samples, tonemaps (sRGB unless linear)."""
+        accumulates spp samples, tonemaps (sRGB unless linear). One host
+        fetch at the end."""
         self.reset_accumulation()
         accum = None
         for i in range(spp):
             frame, depth = self.render_frame_buffers(width, height, i)
-            accum = np.asarray(accumulate(
-                jnp.zeros_like(jnp.asarray(frame)) if accum is None else jnp.asarray(accum),
-                jnp.asarray(frame), i, self.color_space))
+            accum = accumulate(
+                jnp.zeros_like(frame) if accum is None else accum,
+                frame, i, self.color_space)
         self._depth_buffer = depth
         self._frame_buffer = frame
-        out = tonemap_frame(jnp.asarray(accum), self.exposure,
+        out = tonemap_frame(accum, self.exposure,
                             self.background_color, self.color_space,
                             "linear" if linear else "srgb",
                             self.tonemap_curve)

@@ -143,6 +143,7 @@ def raycast_pallas(tri_scalars: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
 def _tiled_kernel(counts_ref, tri_ref, list_ref, o_ref, d_ref,
                   t_ref, idx_ref, u_ref, v_ref):
     b = pl.program_id(0)
+    lrow = b % 8  # SMEM list blocks carry 8 tiles' lists (tiling rules)
     ox = o_ref[0, 0]
     oy = o_ref[0, 1]
     oz = o_ref[0, 2]
@@ -152,7 +153,7 @@ def _tiled_kernel(counts_ref, tri_ref, list_ref, o_ref, d_ref,
 
     def body(j, carry):
         best_t, best_i, best_u, best_v = carry
-        tri_id = list_ref[0, j]
+        tri_id = list_ref[lrow, j]
         base = tri_id * 9
         v0x = tri_ref[base + 0]
         v0y = tri_ref[base + 1]
@@ -210,6 +211,20 @@ def raycast_pallas_tiled(tri_scalars: jnp.ndarray, o: jnp.ndarray,
     assert N % BLOCK == 0, (N, BLOCK)
     n_blocks = N // BLOCK
     T = tri_scalars.shape[0]
+    # TPU tiling rules: list blocks need a 128-divisible minor dim and an
+    # 8-divisible second-minor, so pad T to 128 and the block count to 8
+    # (padded tiles have count 0 and cost nothing)
+    t_pad = (-tile_lists.shape[1]) % 128
+    if t_pad:
+        tile_lists = jnp.pad(tile_lists, ((0, 0), (0, t_pad)))
+    blk_pad = (-n_blocks) % 8
+    if blk_pad:
+        tile_lists = jnp.pad(tile_lists, ((0, blk_pad), (0, 0)))
+        tile_counts = jnp.pad(tile_counts, (0, blk_pad))
+        o = jnp.pad(o, ((0, blk_pad * BLOCK), (0, 0)), mode="edge")
+        d = jnp.pad(d, ((0, blk_pad * BLOCK), (0, 0)), mode="edge")
+        n_blocks += blk_pad
+    tl = tile_lists.shape[1]
 
     o_planes = o.T.reshape(3, n_blocks, ROWS, 128).swapaxes(0, 1)
     d_planes = d.T.reshape(3, n_blocks, ROWS, 128).swapaxes(0, 1)
@@ -222,7 +237,7 @@ def raycast_pallas_tiled(tri_scalars: jnp.ndarray, o: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((T * 9,), lambda i, c: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T), lambda i, c: (i, 0),
+            pl.BlockSpec((8, tl), lambda i, c: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, ROWS, 128), lambda i, c: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -241,4 +256,5 @@ def raycast_pallas_tiled(tri_scalars: jnp.ndarray, o: jnp.ndarray,
     )(tile_counts.astype(jnp.int32), tri_scalars.reshape(-1),
       tile_lists.astype(jnp.int32), o_planes, d_planes)
     t, idx, u, v = out
-    return (t.reshape(N), idx.reshape(N), u.reshape(N), v.reshape(N))
+    return (t.reshape(-1)[:N], idx.reshape(-1)[:N], u.reshape(-1)[:N],
+            v.reshape(-1)[:N])

@@ -536,42 +536,73 @@ def camera_rays(camera: np.ndarray, width: int, height: int):
     return o.reshape(-1, 3).astype(np.float32), d.reshape(-1, 3).astype(np.float32)
 
 
+_FRAME_FN_CACHE = {}
+
+
+def _get_frame_fn(opts: MarchOptions, width: int, height: int,
+                  has_surface: bool, linear_colors: bool):
+    """Jitted whole-frame function: device-side ray generation + padding
+    + compacting march + shade. Per frame only the 3x4 camera (and the
+    surface buffers, already on device from the mesh pass) move."""
+    npix = width * height
+    chunk = min(opts.chunk, 1 << int(np.ceil(np.log2(max(npix, 1)))))
+    if chunk != opts.chunk:
+        opts = dataclasses.replace(opts, chunk=chunk)
+    pad = (-npix) % opts.chunk
+    key = (opts, width, height, has_surface, linear_colors)
+    fn = _FRAME_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def f(params, scene, cam, surface_rgba, t_surface, sample_index):
+        px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+        py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+        ndc = jnp.stack([px / width * 2.0 - 1.0, py / height * 2.0 - 1.0,
+                         jnp.ones((height, width))], axis=-1)
+        d = (ndc @ cam[:, :3].T).reshape(-1, 3)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
+        if has_surface:
+            surf = surface_rgba.reshape(npix, 4)
+            tsurf = t_surface.reshape(npix)
+        else:
+            surf = jnp.zeros((npix, 4))
+            tsurf = jnp.zeros((npix,))
+        if pad:
+            o = jnp.concatenate([o, jnp.broadcast_to(o[-1], (pad, 3))])
+            d = jnp.concatenate([d, jnp.broadcast_to(d[-1], (pad, 3))])
+            surf = jnp.concatenate([surf, jnp.zeros((pad, 4))])
+            tsurf = jnp.concatenate([tsurf, jnp.zeros((pad,))])
+        out = march_frame(params, scene, o, d, surf, tsurf, opts,
+                          sample_index)
+        rgba = out["rgba"][:npix].reshape(height, width, 4)
+        depth = out["depth"][:npix].reshape(height, width)
+        return _shade_frame(rgba, linear_colors), depth
+
+    fn = jax.jit(f)
+    _FRAME_FN_CACHE[key] = fn
+    return fn
+
+
 def render_image_device(params, scene, camera, width: int, height: int,
                         opts: MarchOptions, surface_rgba=None,
                         t_surface=None, sample_index: int = 0,
                         linear_colors: bool = False):
-    """Render a full frame entirely on device (ONE march dispatch) ->
+    """Render a full frame entirely on device (ONE dispatch chain) ->
     (framebuffer (H,W,4) linear premultiplied, depth (H,W)) jnp arrays.
 
     The shade step converts accumulated radiance sRGB->linear unless
     `linear_colors` (shade_kernel_nerf, testbed.cu:907-931).
     """
-    o, d = camera_rays(camera, width, height)
-    npix = o.shape[0]
-    if surface_rgba is None:
-        surface_rgba = np.zeros((npix, 4), np.float32)
-        t_surface = np.zeros((npix,), np.float32)
-    surface_rgba = np.asarray(surface_rgba, np.float32).reshape(npix, 4)
-    t_surface = np.asarray(t_surface, np.float32).reshape(npix)
-
-    chunk = min(opts.chunk, 1 << int(np.ceil(np.log2(max(npix, 1)))))
-    if chunk != opts.chunk:
-        opts = dataclasses.replace(opts, chunk=chunk)
-    pad = (-npix) % opts.chunk
-    if pad:
-        o = np.concatenate([o, np.repeat(o[-1:], pad, 0)])
-        d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
-        surface_rgba = np.concatenate(
-            [surface_rgba, np.zeros((pad, 4), np.float32)])
-        t_surface = np.concatenate([t_surface, np.zeros(pad, np.float32)])
-
-    out = march_frame(params, scene, jnp.asarray(o), jnp.asarray(d),
-                      jnp.asarray(surface_rgba), jnp.asarray(t_surface),
-                      opts, sample_index)
-    rgba = out["rgba"][:npix].reshape(height, width, 4)
-    depth = out["depth"][:npix].reshape(height, width)
-    rgba = _shade_frame(rgba, linear_colors)
-    return rgba, depth
+    has_surface = surface_rgba is not None
+    fn = _get_frame_fn(opts, width, height, has_surface, linear_colors)
+    npix = width * height
+    if not has_surface:
+        surface_rgba = jnp.zeros((1, 4))
+        t_surface = jnp.zeros((1,))
+    return fn(params, scene, jnp.asarray(camera, jnp.float32),
+              jnp.asarray(surface_rgba), jnp.asarray(t_surface),
+              sample_index)
 
 
 @partial(jax.jit, static_argnames=("linear_colors",))

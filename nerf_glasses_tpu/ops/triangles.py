@@ -348,34 +348,28 @@ def shade_hits(mesh: MeshArrays, o, d, t, tri, uv_bary, nrm_mats,
 
 def render_mesh_pass_tiled(mesh: MeshArrays, xforms, nrm_mats,
                            camera: np.ndarray, width: int, height: int,
-                           light_pos):
+                           light_pos, device_out: bool = False):
     """Tile-culled Pallas mesh pass: bin triangles to screen tiles by
     projected bbox, trace each tile against only its candidates (the TPU
     analogue of the reference's OptiX IAS/GAS traversal), shade, return
-    (color (H,W,4) sRGB+coverage, depth (H,W))."""
-    cam = np.asarray(camera, np.float32)
+    (color (H,W,4) sRGB+coverage, depth (H,W)).
+
+    Everything — ray generation, binning, trace, shade, un-tiling — runs
+    on device in one jitted dispatch; only the 3x4 camera and instance
+    transforms are uploaded per frame. `device_out` keeps the results as
+    jnp arrays (the hybrid frame path feeds them straight into the
+    volumetric march)."""
+    cam = jnp.asarray(camera, jnp.float32)
     wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
     hp = ((height + TILE_H - 1) // TILE_H) * TILE_H
-    x = (np.arange(wp, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
-    y = (np.arange(hp, dtype=np.float32) + 0.5) / height * 2.0 - 1.0
-    xx, yy = np.meshgrid(x, y)
-    ndc = np.stack([xx, yy, np.ones_like(xx)], -1)
-    d = ndc @ cam[:, :3].T
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    o = np.broadcast_to(cam[:, 3], d.shape).astype(np.float32)
-    d_t = _tile_order(d.astype(np.float32), wp, hp, 3)
-    o_t = _tile_order(o, wp, hp, 3)
-    cam3_inv = np.linalg.inv(cam[:, :3]).astype(np.float32)
-
     fn = _get_tiled_fn(mesh, width, height, wp, hp)
-    color, depth = fn(jnp.asarray(o_t), jnp.asarray(d_t),
-                      jnp.asarray(xforms), jnp.asarray(nrm_mats),
-                      jnp.asarray(light_pos, jnp.float32),
-                      jnp.asarray(cam[:, 3]), jnp.asarray(cam3_inv))
-    color = _tile_unorder(np.asarray(color), wp, hp)[:height, :width]
-    depth = _tile_unorder(np.asarray(depth)[:, None], wp, hp)[
-        :height, :width, 0]
-    return color, depth
+    color, depth = fn(cam, jnp.asarray(xforms), jnp.asarray(nrm_mats),
+                      jnp.asarray(light_pos, jnp.float32))
+    color = color[:height, :width]
+    depth = depth[:height, :width]
+    if device_out:
+        return color, depth
+    return np.asarray(color), np.asarray(depth)
 
 
 def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
@@ -383,8 +377,27 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
     key = ("tiled", width, height, wp, hp)
     fn = mesh._tile_cache.get(key)
     if fn is None:
-        def f(o, d, xforms, nrm_mats, light, eye, cam3_inv):
+        ntx = wp // TILE_W
+        nty = hp // TILE_H
+
+        def f(cam, xforms, nrm_mats, light):
             from nerf_glasses_tpu.ops.mesh_pallas import raycast_pallas_tiled
+            eye = cam[:, 3]
+            cam3 = cam[:, :3]
+            cam3_inv = jnp.linalg.inv(cam3)
+
+            # tile-major ray generation on device
+            px = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1) + 0.5)
+            py = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + 0.5)
+            ndc = jnp.stack([px / width * 2.0 - 1.0,
+                             py / height * 2.0 - 1.0,
+                             jnp.ones((hp, wp))], axis=-1)
+            d = ndc @ cam3.T
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            d_t = (d.reshape(nty, TILE_H, ntx, TILE_W, 3)
+                   .transpose(0, 2, 1, 3, 4).reshape(-1, 3))
+            o_t = jnp.broadcast_to(eye, d_t.shape)
+
             rot = xforms[mesh.inst_id, :, :3]
             trans = xforms[mesh.inst_id, :, 3]
             v0 = jnp.einsum("tij,tj->ti", rot, mesh.v0) + trans
@@ -393,15 +406,21 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
             lists, counts = _bin_triangles(v0, e1, e2, eye, cam3_inv,
                                            width, height, wp, hp)
             tri_scalars = jnp.concatenate([v0, e1, e2], axis=1)
-            t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o, d, lists,
-                                                  counts)
+            t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o_t, d_t,
+                                                  lists, counts)
             uv = jnp.stack([uu, vv], axis=-1)
-            rgb = shade_hits(mesh, o, d, t, tri, uv, nrm_mats, light, eye)
+            rgb = shade_hits(mesh, o_t, d_t, t, tri, uv, nrm_mats, light,
+                             eye)
             hit = tri >= 0
             rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
             color = jnp.concatenate(
                 [rgb, hit[:, None].astype(jnp.float32)], -1)
             depth = jnp.where(hit, t, 0.0)
+            # un-tile back to image layout on device
+            color = (color.reshape(nty, ntx, TILE_H, TILE_W, 4)
+                     .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 4))
+            depth = (depth.reshape(nty, ntx, TILE_H, TILE_W)
+                     .transpose(0, 2, 1, 3).reshape(hp, wp))
             return color, depth
 
         fn = jax.jit(f)
@@ -411,7 +430,8 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
 
 def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
                      camera: np.ndarray, width: int, height: int, light_pos,
-                     tri_chunk: int = 256, ray_tile: int = 262144):
+                     tri_chunk: int = 256, ray_tile: int = 262144,
+                     device_out: bool = False):
     """Trace + shade the mesh at (width, height) in *renderer world* space
     (no +0.5 NGP shift; __raygen__rg, optix_scene.cu:120-174).
 
@@ -420,7 +440,8 @@ def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,
     """
     if _use_pallas_raycast():
         return render_mesh_pass_tiled(mesh, xforms, nrm_mats, camera,
-                                      width, height, light_pos)
+                                      width, height, light_pos,
+                                      device_out=device_out)
     cam = np.asarray(camera, np.float32)
     x = (np.arange(width, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
     y = (np.arange(height, dtype=np.float32) + 0.5) / height * 2.0 - 1.0
@@ -558,13 +579,15 @@ def _get_tile_fn(mesh: MeshArrays, tri_chunk: int):
     return fn
 
 
-def downsample_surface(color: np.ndarray, depth: np.ndarray, factor: int):
+def downsample_surface(color, depth, factor: int):
     """Block-reduce the supersampled mesh buffers into per-NeRF-pixel
     payloads: color = mean, depth = max of hit depths
     (copyRaytracingBuffersToNerfRays, nerf_mesh_renderer.cu:64-100).
+    Works on numpy or jnp arrays (stays on device for jnp).
     """
+    xp = jnp if isinstance(depth, jnp.ndarray) else np
     h, w = depth.shape
     hh, ww = h // factor, w // factor
     c = color.reshape(hh, factor, ww, factor, 4).mean(axis=(1, 3))
     dmax = depth.reshape(hh, factor, ww, factor).max(axis=(1, 3))
-    return c.astype(np.float32), dmax.astype(np.float32)
+    return c.astype(xp.float32), dmax.astype(xp.float32)
