@@ -103,10 +103,15 @@ def main():
 
     renderer.orbit(0.4, -0.1, 0)
 
+    def drain():
+        # force full pipeline completion with a minimal transfer
+        return float(np.asarray(renderer._frame_buffer[0, 0, 3]))
+
     # warmup (first frame compiles; slow through remote-compile tunnels)
     for _ in range(N_WARMUP):
         renderer.frame()
         renderer.orbit(0.01, 0.0, 0)
+    drain()
 
     t0 = time.perf_counter()
     a = 0.0
@@ -114,6 +119,7 @@ def main():
         a += 0.03
         renderer.orbit(-np.sin(a * 1.733) / 100, np.cos(a * 1.733) / 200, 0)
         renderer.frame()
+    drain()
     dt = time.perf_counter() - t0
 
     fps = N_FRAMES / dt

@@ -120,6 +120,40 @@ class NerfDataset:
         return (3 if self.has_light_dirs else 0) + self.n_extra_learnable_dims
 
 
+def nerf_direction_to_ngp(d: np.ndarray, from_mitsuba: bool = False):
+    """(nerf_loader.cuh:105-113)"""
+    d = np.asarray(d, np.float32)
+    return -d if from_mitsuba else d[[1, 2, 0]]
+
+
+def nerf_ray_to_ngp(o, d, scale: float, offset, scale_direction=False):
+    """(nerf_loader.cuh:167-181)"""
+    o = np.asarray(o, np.float32) * scale + np.asarray(offset, np.float32)
+    d = np.asarray(d, np.float32) * (scale if scale_direction else 1.0)
+    return o[[1, 2, 0]], d[[1, 2, 0]]
+
+
+def create_empty_nerf_dataset(n_images: int, aabb_scale: int = 1,
+                              is_hdr: bool = False) -> "NerfDataset":
+    """(nerf_loader.cu create_empty_nerf_dataset): a dataset shell whose
+    images/cameras are to be filled via set_training_image /
+    set_camera_extrinsics-style calls."""
+    ds = NerfDataset()
+    ds.n_images = n_images
+    ds.aabb_scale = aabb_scale
+    ds.is_hdr = is_hdr
+    ds.scale = C.NERF_SCALE
+    ds.offset = np.array([0.5, 0.5, 0.5], np.float32)
+    ds.metadata = [ImageMetadata() for _ in range(n_images)]
+    ds.paths = [""] * n_images
+    ds.xforms = np.tile(np.eye(3, 4, dtype=np.float32), (n_images, 1, 1))
+    ds.xforms_end = ds.xforms.copy()
+    ds.images = [None] * n_images
+    from nerf_glasses_tpu.utils.bbox import BoundingBox
+    ds.render_aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # json (snapshot "dataset" section) <-> NerfDataset (json_binding.h:133-204)
 # ---------------------------------------------------------------------------

@@ -398,6 +398,45 @@ class Testbed:
         self.dataset.images = None
         self._trainer = None
 
+    def create_empty_nerf_dataset(self, n_images: int, aabb_scale: int = 1,
+                                  is_hdr: bool = False):
+        from nerf_glasses_tpu.io.dataset import create_empty_nerf_dataset
+        self.dataset = create_empty_nerf_dataset(n_images, aabb_scale,
+                                                 is_hdr)
+        self._trainer = None
+
+    def set_training_image(self, frame_idx: int, img: np.ndarray,
+                           depth_img=None, depth_scale: float = 1.0):
+        """pyngp Testbed.Nerf.Training.set_image semantics
+        (python_api.cu:51-69): img is (H, W, 4) float32, linear color,
+        premultiplied alpha."""
+        img = np.asarray(img, np.float32)
+        if img.ndim != 3 or img.shape[2] != 4:
+            raise ValueError("image should be (H,W,C) where C=4")
+        self.dataset.images[frame_idx] = img
+        md = self.dataset.metadata[frame_idx]
+        md.resolution = (img.shape[1], img.shape[0])
+        self._trainer = None
+
+    def set_camera_extrinsics(self, frame_idx: int, camera_to_world,
+                              convert_to_ngp: bool = True):
+        m = np.asarray(camera_to_world, np.float32)[:3, :4]
+        if convert_to_ngp:
+            from nerf_glasses_tpu.io.dataset import nerf_matrix_to_ngp
+            m = nerf_matrix_to_ngp(m, self.dataset.scale,
+                                   self.dataset.offset,
+                                   self.dataset.from_mitsuba)
+        self.dataset.xforms[frame_idx] = m
+        if self.dataset.xforms_end is not None:
+            self.dataset.xforms_end[frame_idx] = m
+        self._trainer = None
+
+    def get_camera_extrinsics(self, frame_idx: int) -> np.ndarray:
+        from nerf_glasses_tpu.io.dataset import ngp_matrix_to_nerf
+        return ngp_matrix_to_nerf(self.dataset.xforms[frame_idx],
+                                  self.dataset.scale, self.dataset.offset,
+                                  self.dataset.from_mitsuba)
+
     def _ensure_trainer(self):
         if getattr(self, "_trainer", None) is None:
             from nerf_glasses_tpu.train.trainer import Trainer, TrainOptions
