@@ -112,7 +112,8 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
         idx = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(state["rng"], idx)
         rng, r1, r2, r3 = jax.random.split(rng, 4)
-        o, d, target = trainer_mod._sample_rays(r1, data, local_rays)
+        o, d, target = trainer_mod._sample_rays(
+            r1, data, local_rays, opts.apply_lens_distortion)
         samples = trainer_mod.march_training_samples(
             state["occ"], o, d, r2, local_opts, state["aabb_min"],
             state["aabb_max"], opts.config.max_cascade)

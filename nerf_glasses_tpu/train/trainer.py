@@ -61,6 +61,11 @@ class TrainOptions:
     grid_samples_per_update: int = 1 << 18
     cone_angle: float = 0.0
     compute_dtype: str = "bfloat16"
+    # iterative OpenCV undistortion of training rays (set automatically
+    # when the dataset carries k1/k2/p1/p2; upstream's
+    # iterative_opencv_lens_undistortion, stubbed in the reference at
+    # ngp_common.cuh:369-372)
+    apply_lens_distortion: bool = False
 
     @property
     def cdtype(self):
@@ -99,19 +104,28 @@ def prepare_dataset_arrays(ds: NerfDataset) -> Dict[str, jnp.ndarray]:
     fy = np.array([m.focal_length[1] for m in ds.metadata], np.float32)
     cx = np.array([m.principal_point[0] for m in ds.metadata], np.float32) * w
     cy = np.array([m.principal_point[1] for m in ds.metadata], np.float32) * h
+    dist = np.array([m.lens_params[:4] if m.lens_mode == "opencv"
+                     else (0.0, 0.0, 0.0, 0.0) for m in ds.metadata],
+                    np.float32)
     return {
         "images": jnp.asarray(images),
         "xforms": jnp.asarray(ds.xforms),      # (N, 3, 4) NGP space
         "fx": jnp.asarray(fx), "fy": jnp.asarray(fy),
         "cx": jnp.asarray(cx), "cy": jnp.asarray(cy),
+        "dist": jnp.asarray(dist),             # (N, 4) k1 k2 p1 p2
     }
+
+
+def dataset_has_distortion(ds: NerfDataset) -> bool:
+    return any(m.lens_mode == "opencv" and any(m.lens_params[:4])
+               for m in ds.metadata)
 
 
 # ---------------------------------------------------------------------------
 # Ray sampling + marching (differentiable forward)
 # ---------------------------------------------------------------------------
 
-def _sample_rays(rng, data, n_rays):
+def _sample_rays(rng, data, n_rays, apply_lens_distortion: bool = False):
     """-> (o (B,3), d unit (B,3), target rgba (B,4))."""
     images = data["images"]
     n_img, h, w = images.shape[:3]
@@ -123,11 +137,22 @@ def _sample_rays(rng, data, n_rays):
 
     fx = data["fx"][img]
     fy = data["fy"][img]
-    dirs = jnp.stack([
-        (px + 0.5 - data["cx"][img]) / fx,
-        (py + 0.5 - data["cy"][img]) / fy,
-        jnp.ones((n_rays,)),
-    ], axis=-1)
+    xd = (px + 0.5 - data["cx"][img]) / fx
+    yd = (py + 0.5 - data["cy"][img]) / fy
+    if apply_lens_distortion:
+        kk = data["dist"][img]
+        xu, yu = xd, yd
+        for _ in range(10):  # iterative OpenCV inversion
+            r2 = xu * xu + yu * yu
+            radial = 1.0 + r2 * (kk[:, 0] + kk[:, 1] * r2)
+            dx = (2 * kk[:, 2] * xu * yu
+                  + kk[:, 3] * (r2 + 2 * xu * xu))
+            dy = (kk[:, 2] * (r2 + 2 * yu * yu)
+                  + 2 * kk[:, 3] * xu * yu)
+            xu = (xd - dx) / radial
+            yu = (yd - dy) / radial
+        xd, yd = xu, yu
+    dirs = jnp.stack([xd, yd, jnp.ones((n_rays,))], axis=-1)
     xf = data["xforms"][img]                  # (B, 3, 4)
     d = jnp.einsum("bij,bj->bi", xf[:, :, :3], dirs)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -267,7 +292,8 @@ def adam_update(params, grads, opt, step, opts: TrainOptions):
 @partial(jax.jit, static_argnames=("opts",), donate_argnums=(0,))
 def train_step(state, data, opts: TrainOptions):
     rng, r1, r2, r3 = jax.random.split(state["rng"], 4)
-    o, d, target = _sample_rays(r1, data, opts.rays_per_batch)
+    o, d, target = _sample_rays(r1, data, opts.rays_per_batch,
+                                opts.apply_lens_distortion)
     samples = march_training_samples(
         state["occ"], o, d, r2, opts, state["aabb_min"], state["aabb_max"],
         opts.config.max_cascade)
@@ -345,6 +371,9 @@ class Trainer:
             cfg = NGPConfig.from_snapshot_config(
                 {}, dataset.aabb_scale, dataset.is_hdr)
             opts = TrainOptions(config=cfg)
+        if dataset_has_distortion(dataset) and not opts.apply_lens_distortion:
+            import dataclasses as _dc
+            opts = _dc.replace(opts, apply_lens_distortion=True)
         self.opts = opts
         self.dataset = dataset
         self.data = prepare_dataset_arrays(dataset)
