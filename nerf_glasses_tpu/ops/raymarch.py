@@ -73,9 +73,10 @@ class MarchOptions:
     min_mip: int = 0
     jitter: bool = True
     compute_dtype: str = "bfloat16"
-    # march_frame compaction parameters
-    chunk: int = 1 << 15         # rays per compacted chunk
-    rounds_per_epoch: int = 2    # K-sample rounds between compactions
+    # march_frame compaction parameters (tuned on v5e: small chunks keep
+    # straggler epochs cheap — 32768/2 measured 2x slower than 8192/1)
+    chunk: int = 1 << 13         # rays per compacted chunk
+    rounds_per_epoch: int = 1    # K-sample rounds between compactions
 
     @property
     def cdtype(self):
