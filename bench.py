@@ -102,6 +102,7 @@ def main():
                            s=[0.25, 0.25, 0.25])
 
     renderer.orbit(0.4, -0.1, 0)
+    renderer.orbit(0, 0, 3.5)  # zoom in: head fills a realistic share
 
     def drain():
         # force full pipeline completion with a minimal transfer

@@ -74,8 +74,9 @@ class MarchOptions:
     jitter: bool = True
     compute_dtype: str = "bfloat16"
     # march_frame compaction parameters (tuned on v5e: small chunks keep
-    # straggler epochs cheap — 32768/2 measured 2x slower than 8192/1)
-    chunk: int = 1 << 13         # rays per compacted chunk
+    # straggler epochs cheap — 0.28s/frame at 4096/1 vs 1.0s at 32768/2
+    # on the 720p bench scene)
+    chunk: int = 1 << 12         # rays per compacted chunk
     rounds_per_epoch: int = 1    # K-sample rounds between compactions
 
     @property

@@ -167,6 +167,8 @@ class ShardedTrainer(trainer_mod.Trainer):
         self.data = jax.device_put(self.data, rep)
 
     def train(self, n_steps: int = 1, callback=None) -> float:
+        if not hasattr(self, "loss_history"):
+            self.loss_history = []
         for _ in range(n_steps):
             if self.step % self.opts.grid_update_interval == 0:
                 self.state = trainer_mod.update_density_grid(
@@ -174,6 +176,9 @@ class ShardedTrainer(trainer_mod.Trainer):
                     rebuild_occ=self.step >= self.occ_warmup_steps)
             self.state, loss = self._step_fn(self.state, self.data)
             self.loss = float(loss)
+            self.loss_history.append(self.loss)
+            if len(self.loss_history) > self.loss_history_capacity:
+                del self.loss_history[:-self.loss_history_capacity]
             if callback is not None:
                 callback(self.step, self.loss)
         return self.loss

@@ -53,6 +53,12 @@ class TrainOptions:
     beta2: float = 0.99
     eps: float = 1e-15
     l2_reg: float = 1e-6
+    # ExponentialDecay wrapper parity (tcnn optimizers/exponential_decay.h;
+    # upstream snapshots often wrap Adam in it): lr *= decay every
+    # `lr_decay_interval` steps after `lr_decay_start`.
+    lr_decay: float = 1.0
+    lr_decay_start: int = 0
+    lr_decay_interval: int = 1000
     loss_type: str = "l2"            # "l2" | "huber" | "relative_l2"
     huber_delta: float = 0.1
     random_bg: bool = True
@@ -240,33 +246,54 @@ def forward_rays(params, samples, d, bg, opts: TrainOptions,
 
 
 def _loss_fn(pred, target, opts: TrainOptions):
+    """Loss menu matching tcnn's losses/* (L1/L2/relative-L2/huber/mape/
+    smape/log-L1) as selected by the snapshot's loss config
+    (Testbed::string_to_loss_type, testbed.cu:1362-1381)."""
     diff = pred - target
-    if opts.loss_type == "l2":
+    lt = opts.loss_type
+    if lt == "l2":
         return jnp.mean(diff * diff)
-    if opts.loss_type == "relative_l2":
+    if lt == "l1":
+        return jnp.mean(jnp.abs(diff))
+    if lt == "relative_l2":
         return jnp.mean(diff * diff / (pred * pred + 1e-2))
-    if opts.loss_type == "huber":
+    if lt == "mape":
+        return jnp.mean(jnp.abs(diff) / (jnp.abs(target) + 1e-2))
+    if lt == "smape":
+        return jnp.mean(2.0 * jnp.abs(diff)
+                        / (jnp.abs(target) + jnp.abs(pred) + 1e-2))
+    if lt == "log_l1":
+        return jnp.mean(jnp.log(1.0 + jnp.abs(diff)))
+    if lt == "huber":
         a = jnp.abs(diff)
         dl = opts.huber_delta
         return jnp.mean(jnp.where(a <= dl, 0.5 * diff * diff / dl,
                                   a - 0.5 * dl))
-    raise ValueError(opts.loss_type)
+    raise ValueError(lt)
 
 
 # ---------------------------------------------------------------------------
 # Adam (tcnn hyperparameters)
 # ---------------------------------------------------------------------------
 
+def _learning_rate(step, opts: TrainOptions):
+    if opts.lr_decay >= 1.0:
+        return opts.learning_rate
+    n = jnp.maximum(step - opts.lr_decay_start, 0) // opts.lr_decay_interval
+    return opts.learning_rate * opts.lr_decay ** n.astype(jnp.float32)
+
+
 def adam_update(params, grads, opt, step, opts: TrainOptions):
     t = step.astype(jnp.float32) + 1.0
     b1, b2 = opts.beta1, opts.beta2
     corr = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+    lr = _learning_rate(step, opts)
 
     def upd(p, g, m, v, decay):
         g = g + decay * p
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
-        p = p - opts.learning_rate * corr * m / (jnp.sqrt(v) + opts.eps)
+        p = p - lr * corr * m / (jnp.sqrt(v) + opts.eps)
         return p, m, v
 
     new_p, new_m, new_v = {}, {}, {}
@@ -390,8 +417,12 @@ class Trainer:
 
     # upstream keeps the grid dense for its first 256 training steps
     occ_warmup_steps: int = 256
+    # loss-graph buffer parity (testbed.cuh:561)
+    loss_history_capacity: int = 256
 
     def train(self, n_steps: int = 1, callback=None) -> float:
+        if not hasattr(self, "loss_history"):
+            self.loss_history = []
         for _ in range(n_steps):
             if self.step % self.opts.grid_update_interval == 0:
                 self.state = update_density_grid(
@@ -399,6 +430,9 @@ class Trainer:
                     rebuild_occ=self.step >= self.occ_warmup_steps)
             self.state, loss = train_step(self.state, self.data, self.opts)
             self.loss = float(loss)
+            self.loss_history.append(self.loss)
+            if len(self.loss_history) > self.loss_history_capacity:
+                del self.loss_history[:-self.loss_history_capacity]
             if callback is not None:
                 callback(self.step, self.loss)
         return self.loss
