@@ -46,13 +46,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 # ---------------------------------------------------------------------------
 
 def make_sharded_march(mesh: Mesh, opts: raymarch.MarchOptions,
-                       axis: str = "data"):
+                       axis: str = "data", use_frame_marcher: bool = True):
     """-> fn(params, scene, o, d, surface_rgba, t_surface) with rays
-    sharded over `axis`; params/scene replicated."""
+    sharded over `axis`; params/scene replicated. Each chip runs its own
+    compacting march_frame loop (per-chip early exit; no collectives)."""
 
     def local(params, scene, o, d, surface_rgba, t_surface):
-        out = raymarch.march_rays(params, scene, o, d, surface_rgba,
-                                  t_surface, opts)
+        n_local = o.shape[0]
+        local_opts = opts
+        if use_frame_marcher and n_local % opts.chunk == 0:
+            out = raymarch.march_frame(params, scene, o, d, surface_rgba,
+                                       t_surface, local_opts)
+        else:
+            out = raymarch.march_rays(params, scene, o, d, surface_rgba,
+                                      t_surface, local_opts)
         return out["rgba"], out["depth"]
 
     fn = jax.shard_map(
