@@ -313,13 +313,32 @@ class Testbed:
     def _march_options(self) -> raymarch.MarchOptions:
         kw = dict(config=self.config, cone_angle=self._cone_angle,
                   min_transmittance=self.nerf.render_min_transmittance)
+        if getattr(self, "_baked_sigma", None) is not None:
+            kw["use_baked_sigma"] = True
         kw.update(self.march_overrides)
         return raymarch.MarchOptions(**kw)
 
     def _scene(self):
-        return raymarch.make_scene(
+        scene = raymarch.make_scene(
             self.occ, self.render_aabb.min, self.render_aabb.max,
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
+        if getattr(self, "_baked_sigma", None) is not None:
+            scene["sigma"] = self._baked_sigma
+        return scene
+
+    def bake(self, resolution: int = 256):
+        """Bake the density field to a dense grid for fast rendering
+        (ops/bake.py). Opt-in; color still comes from the full network at
+        visible samples. Requires a single-cascade scene."""
+        if self.config.max_cascade != 0:
+            raise ValueError("baking currently supports aabb_scale == 1")
+        from nerf_glasses_tpu.ops.bake import bake_density_grid
+        self._baked_sigma = bake_density_grid(self.params, self.config,
+                                              resolution)
+        self.reset_accumulation()
+
+    def unbake(self):
+        self._baked_sigma = None
 
     def set_surface_buffers(self, surface_rgba, t_surface, width, height):
         """Install the mesh pass's per-pixel depth/color (the reference

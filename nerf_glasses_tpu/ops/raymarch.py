@@ -51,6 +51,7 @@ import numpy as np
 from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
+from nerf_glasses_tpu.ops.bake import sample_baked_sigma
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           apply_network,
                                           apply_rgb_activation)
@@ -78,6 +79,13 @@ class MarchOptions:
     # on the 720p bench scene)
     chunk: int = 1 << 12         # rays per compacted chunk
     rounds_per_epoch: int = 1    # K-sample rounds between compactions
+    # Baked-density fast path (ops/bake.py): sigma from a trilinear grid
+    # lookup; the full network runs only for samples whose prospective
+    # compositing weight exceeds sig_threshold (compacted in
+    # color_subchunk batches). Requires scene["sigma"].
+    use_baked_sigma: bool = False
+    sig_threshold: float = 1e-3
+    color_subchunk: int = 1 << 12
 
     @property
     def cdtype(self):
@@ -314,17 +322,8 @@ def _march_round(st, params, scene, opts: MarchOptions):
     pos01 = jnp.where(valid[..., None], pos01, 0.5)
     dir01 = (d + 1.0) * 0.5
     dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
-    rgb_raw, sigma_raw = apply_network(
-        params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-        compute_dtype=opts.cdtype)
-    rgb_raw = rgb_raw.reshape(K, n, 3)
-    sigma_raw = sigma_raw.reshape(K, n)
 
-    rgb_s = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-    sigma = apply_density_activation(sigma_raw, cfg.density_activation)
-    alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
-
-    # --- composite --------------------------------------------------------
+    # --- composite setup (surface blend must precede weight estimates) ---
     rgba = st["rgba"]
     comp_alive = st["alive"]
     surf_a = st["surf_a"]
@@ -344,6 +343,51 @@ def _march_round(st, params, scene, opts: MarchOptions):
     rgba = jnp.where(sat[:, None], rgba / jnp.maximum(rgba[:, 3:4], 1e-9),
                      rgba)
     comp_alive = comp_alive & ~sat
+
+    if opts.use_baked_sigma:
+        sigma = sample_baked_sigma(scene["sigma"], pos01)      # (K, n)
+        alpha_k = jnp.where(valid, 1.0 - jnp.exp(-sigma * samples["dt"]),
+                            0.0)
+        # prospective weights: alpha * current T * exclusive transmittance
+        T0 = jnp.where(comp_alive, 1.0 - rgba[:, 3], 0.0)       # (n,)
+        cum = jnp.concatenate(
+            [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_k, axis=0)[:-1]], 0)
+        w_prosp = alpha_k * T0[None] * cum
+        sig = valid & (w_prosp > opts.sig_threshold)
+
+        flat_sig = sig.reshape(-1)
+        total = K * n
+        ids = jnp.arange(total, dtype=jnp.int32)
+        n_sig = jnp.sum(flat_sig.astype(jnp.int32))
+        pos_a = jnp.cumsum(flat_sig.astype(jnp.int32)) - 1
+        pos_d = n_sig + jnp.cumsum((~flat_sig).astype(jnp.int32)) - 1
+        slot = jnp.where(flat_sig, pos_a, pos_d)
+        perm = jnp.zeros((total,), jnp.int32).at[slot].set(ids)
+
+        SUB = min(opts.color_subchunk, total)
+        n_sub = (n_sig + SUB - 1) // SUB
+        pos_flat = pos01.reshape(-1, 3)
+        dir_flat = dir01_k.reshape(-1, 3)
+        rgb_flat = jnp.zeros((total, 3))
+
+        def sub_body(i, rgb_flat):
+            sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
+            rgb_raw, _ = apply_network(params, pos_flat[sel], dir_flat[sel],
+                                       cfg, compute_dtype=opts.cdtype)
+            rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+            return rgb_flat.at[sel].set(rgb_sel)
+
+        rgb_flat = jax.lax.fori_loop(0, n_sub, sub_body, rgb_flat)
+        rgb_s = rgb_flat.reshape(K, n, 3)
+    else:
+        rgb_raw, sigma_raw = apply_network(
+            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
+            compute_dtype=opts.cdtype)
+        rgb_s = apply_rgb_activation(rgb_raw.reshape(K, n, 3),
+                                     cfg.rgb_activation)
+        sigma = apply_density_activation(sigma_raw.reshape(K, n),
+                                         cfg.density_activation)
+        alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
 
     def comp_step(carry, inp):
         rgba, depth, max_w, comp_alive = carry
