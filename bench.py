@@ -87,7 +87,7 @@ def main():
                       os.path.join(cache, "jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import pynmr as nmr
-    snap = os.path.join(cache, "bench_head.msgpack")
+    snap = os.path.join(cache, "bench_head_v2.msgpack")
     if not os.path.exists(snap):
         build_bench_snapshot(snap)
 
