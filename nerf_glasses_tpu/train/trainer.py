@@ -45,9 +45,14 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
 @dataclasses.dataclass(frozen=True)
 class TrainOptions:
     config: NGPConfig
-    rays_per_batch: int = 1 << 12
-    samples_per_ray: int = 128
-    skip_iters: int = 4
+    # 2048 rays x 96 max samples ~ upstream's ~256k-sample compacted
+    # batches; 4096x128 with full backward buffers exceeds one v5e's HBM
+    # for the full-size (T=2^19) network.
+    rays_per_batch: int = 1 << 11
+    samples_per_ray: int = 96
+    # occupancy-DDA hops in the (non-differentiable) pass that measures
+    # each training ray's occupied length before stratified sampling
+    march_hops: int = 128
     learning_rate: float = 1e-3
     beta1: float = 0.9
     beta2: float = 0.99
@@ -168,52 +173,66 @@ def _sample_rays(rng, data, n_rays, apply_lens_distortion: bool = False):
 
 def march_training_samples(occ, o, d, rng, opts: TrainOptions,
                            aabb_min, aabb_max, max_cascade: int):
-    """Generate up to S occupancy-gated samples per ray (non-differentiable
-    geometry pass). -> dict(pos (S,B,3), dt (S,B), valid (S,B))."""
-    from nerf_glasses_tpu.utils.bbox import contains_aabb, ray_intersect_aabb
+    """Occupancy-compacted stratified training samples (non-differentiable
+    geometry pass). -> dict(pos (S,B,3), dt (S,B), valid (S,B)).
+
+    Static-shape equivalent of the reference's variable-count training
+    march (instant-ngp's generate_training_samples_nerf two-pass
+    count-then-emit scheme): pass 1 is an occupancy-only DDA that
+    measures each ray's total occupied length; pass 2 places
+    `samples_per_ray` stratified samples by inverse CDF over the
+    occupied segments. The sample budget therefore always covers the
+    ray's FULL occupied depth — a consecutive fixed-dt march would span
+    only S*STEPSIZE (~0.16 units), never reach geometry past the AABB
+    entry while the occupancy grid is dense, and converge to "fog at
+    the cube entry" (each camera explaining its pixels with density no
+    other camera ever samples). Sampling resolution sharpens
+    automatically as the occupancy grid culls empty space.
+    """
+    from nerf_glasses_tpu.utils.bbox import ray_intersect_aabb
 
     B = o.shape[0]
     S = opts.samples_per_ray
+    H = opts.march_hops
     idir = 1.0 / d
     tmin, tmax = ray_intersect_aabb(o, d, aabb_min, aabb_max)
-    t = jnp.maximum(tmin, 0.0) + 1e-6
-    # stratified start jitter
-    t = t + jax.random.uniform(rng, (B,)) * occ_ops.calc_dt(t, opts.cone_angle)
+    t0 = jnp.maximum(tmin, 0.0) + 1e-6
+    span = jnp.maximum(tmax - t0, 0.0)
+    # Hop granularity: fine enough to resolve mip-0 voxels once the
+    # grid has converged, coarse enough that H hops always cross the
+    # whole AABB even when it is fully occupied (warmup).
+    stride = jnp.maximum(span / H, 1.0 / C.NERF_GRIDSIZE)
 
-    def occupied(pos, dt):
-        mip = occ_ops.mip_from_dt(dt, pos, max_cascade)
-        return occ_ops.occupied_at(occ, pos, mip), mip
-
-    def step(carry, _):
-        t, alive = carry
-
-        def skip_body(_, sk):
-            t, st = sk
-            active = st == 0
-            pos = o + d * t[:, None]
-            inside = contains_aabb(pos, aabb_min, aabb_max)
-            dt = occ_ops.calc_dt(t, opts.cone_angle)
-            occp, mip = occupied(pos, dt)
-            res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-            adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
-                                                idir, res)
-            new_st = jnp.where(~inside, 2, jnp.where(occp, 1, 0))
-            st = jnp.where(active, new_st, st)
-            t = jnp.where(active & (st == 0), adv, t)
-            return t, st
-
-        st0 = jnp.where(alive, 0, -1)
-        t, st = jax.lax.fori_loop(0, opts.skip_iters, skip_body, (t, st0))
-        found = st == 1
+    def hop(t, _):
+        alive = t < tmax
         pos = o + d * t[:, None]
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        t = jnp.where(found, t + dt, t)
-        alive = alive & (st != 2)
-        return (t, alive), {"pos": pos, "dt": dt, "valid": found}
+        mip = occ_ops.mip_from_dt(dt, pos, max_cascade)
+        occp = occ_ops.occupied_at(occ, pos, mip) & alive
+        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+        t_skip = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                               idir, res)
+        seg = jnp.where(occp, jnp.minimum(stride, tmax - t), 0.0)
+        t_next = jnp.where(occp, t + seg, jnp.maximum(t_skip, t + 1e-6))
+        return jnp.where(alive, t_next, t), (t, seg)
 
-    (_, _), samples = jax.lax.scan(step, (t, jnp.ones((B,), bool)), None,
-                                   length=S)
-    return samples
+    _, (t_start, seg) = jax.lax.scan(hop, t0, None, length=H)   # (H, B)
+    cum = jnp.cumsum(seg, axis=0)               # inclusive segment ends
+    locc = cum[-1]                              # occupied length per ray
+    dt_eff = jnp.where(locc > 0, locc / S, 1.0)
+
+    u = jax.random.uniform(rng, (S, B))
+    s = (jnp.arange(S)[:, None] + u) * dt_eff   # (S, B) arclengths
+    h_idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"),
+                     in_axes=1, out_axes=1)(cum, s)
+    h_idx = jnp.minimum(h_idx, H - 1)
+    cum_ex = cum - seg                          # exclusive segment starts
+    t_s = (jnp.take_along_axis(t_start, h_idx, axis=0)
+           + (s - jnp.take_along_axis(cum_ex, h_idx, axis=0)))
+    valid = s < locc[None, :]
+    pos = o[None] + d[None] * t_s[..., None]
+    dt_out = jnp.broadcast_to(dt_eff[None], (S, B))
+    return {"pos": pos, "dt": jnp.where(valid, dt_out, 0.0), "valid": valid}
 
 
 def forward_rays(params, samples, d, bg, opts: TrainOptions,

@@ -34,6 +34,15 @@ def test_full_user_journey(tmp_path):
     tr.occ_warmup_steps = 64
     tr.train(250)
     assert tr.loss < 0.05
+    # the DISK-loaded dataset must reconstruct localized geometry too
+    # (guards the loader's camera/image conventions end to end)
+    tb0 = tr.to_testbed()
+    g = np.linspace(0.05, 0.95, 16)
+    pts = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                   -1).reshape(-1, 3).astype(np.float32)
+    hot = pts[tb0.density_at(pts) > 5.0]
+    assert len(hot) > 20
+    assert (np.linalg.norm(hot - 0.5, axis=1) > 0.28).mean() < 0.05
     snap = str(tmp_path / "nerf.msgpack")
     tr.save_snapshot(snap)
 

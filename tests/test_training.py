@@ -111,6 +111,22 @@ def test_density_concentrates_on_sphere(trained):
     outside = tb.density_at(np.array([[0.15, 0.85, 0.15]]))
     assert inside[0] > outside[0] * 5
 
+    # geometry is LOCALIZED: scan a coarse grid and require that all
+    # strong density lies near the sphere. This is the regression guard
+    # for the fixed-budget-march failure mode where each camera explains
+    # its pixels with fog near its own AABB entry (low loss, garbage
+    # geometry) — a pure loss threshold cannot catch that.
+    g = np.linspace(0.05, 0.95, 16)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    dens = tb.density_at(pts)
+    hot = pts[dens > 5.0]
+    assert len(hot) > 20, "no solid density learned at all"
+    r = np.linalg.norm(hot - SPHERE_C, axis=1)
+    assert (r > SPHERE_R + 0.1).mean() < 0.05, (
+        f"{(r > SPHERE_R + 0.1).mean():.0%} of solid density lies far "
+        f"from the sphere (fog/slab reconstruction)")
+
 
 def test_snapshot_roundtrip_and_render(trained, tmp_path):
     tr, _ = trained
