@@ -73,6 +73,12 @@ class NGPConfig:
     # Scene
     aabb_scale: int = 1
 
+    # Per-image learnable latent codes appended to the rgb network input
+    # (upstream's n_extra_learnable_dims, testbed.cu:1614-1631
+    # get_inference_extra_dims; the latents themselves are trained as an
+    # aux model in train/trainer.py).
+    n_extra_learnable_dims: int = 0
+
     # TPU-native fast variant: every level is a power-of-2 hash table of
     # the same size (coarse levels included). Constant table stride and a
     # constant AND-mask make the whole encode expressible as a compact
@@ -103,7 +109,8 @@ class NGPConfig:
     @property
     def rgb_in_width(self) -> int:
         # next_multiple(dir_padded + density_padded, 16) (nerf_network.cuh:91)
-        return _next_multiple(self.sh_out_padded + self.density_out, 16)
+        return _next_multiple(self.sh_out_padded + self.density_out
+                              + self.n_extra_learnable_dims, 16)
 
     @property
     def max_cascade(self) -> int:
@@ -201,6 +208,8 @@ class NGPConfig:
                 "output_activation": "None",
             },
             "loss": {"otype": "L2"},
+            **({"n_extra_learnable_dims": self.n_extra_learnable_dims}
+               if self.n_extra_learnable_dims else {}),
             "optimizer": {
                 "otype": "Adam",
                 "learning_rate": 1e-3,
@@ -254,6 +263,7 @@ class NGPConfig:
             rgb_neurons=int(rgb.get("n_neurons", 64)),
             rgb_hidden_layers=int(rgb.get("n_hidden_layers", 2)),
             aabb_scale=int(aabb_scale),
+            n_extra_learnable_dims=int(cfg.get("n_extra_learnable_dims", 0)),
             density_activation="exponential",
             rgb_activation="exponential" if is_hdr else "logistic",
         )

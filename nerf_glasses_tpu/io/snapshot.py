@@ -55,6 +55,7 @@ class Snapshot:
     rays_per_batch: int = 1 << 12
     measured_batch_size: int = 0
     measured_batch_size_before_compaction: int = 0
+    extra_dims: Optional[np.ndarray] = None  # inference latent codes (E,)
     raw: Optional[dict] = None               # original decoded document
 
 
@@ -123,6 +124,9 @@ def load_snapshot(path: str) -> Snapshot:
         measured_batch_size=int(rgb_c.get("measured_batch_size", 0)),
         measured_batch_size_before_compaction=int(
             rgb_c.get("measured_batch_size_before_compaction", 0)),
+        extra_dims=(np.frombuffer(snap["extra_dims_binary"], np.float16)
+                    .astype(np.float32)
+                    if "extra_dims_binary" in snap else None),
         raw=doc,
     )
 
@@ -134,7 +138,8 @@ def save_snapshot(path: str, config: NGPConfig, params_blob_f32: np.ndarray,
                   bounding_radius: float = 1.0, training_step: int = 0,
                   loss: float = 0.0, rays_per_batch: int = 1 << 12,
                   measured_batch_size: int = 0,
-                  measured_batch_size_before_compaction: int = 0) -> None:
+                  measured_batch_size_before_compaction: int = 0,
+                  extra_dims: np.ndarray = None) -> None:
     """Write a reference-compatible snapshot (save is upstream-only in the
     reference; schema per load path, testbed.cu:939-1002)."""
     n_casc = density_grid_linear.shape[0]
@@ -168,5 +173,11 @@ def save_snapshot(path: str, config: NGPConfig, params_blob_f32: np.ndarray,
         "params_binary": np.asarray(params_blob_f32,
                                     np.float32).astype(np.float16).tobytes(),
     }
+    if extra_dims is not None:
+        # our extension: inference latent codes for models trained with
+        # n_extra_learnable_dims > 0 (upstream keeps them in optimizer
+        # state; render-only snapshots need them explicitly)
+        doc["snapshot"]["extra_dims_binary"] = np.asarray(
+            extra_dims, np.float32).astype(np.float16).tobytes()
     with open(path, "wb") as f:
         f.write(msgpack.packb(doc, use_bin_type=True))

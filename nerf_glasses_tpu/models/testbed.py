@@ -196,6 +196,7 @@ class Testbed:
         self.bounding_radius = s.bounding_radius
         self.training_step = s.training_step
         self.loss = s.loss
+        self.extra_dims = s.extra_dims
         self._cone_angle = self.config.cone_angle_constant
         self.up_dir = s.dataset.up.copy()
         self._snapshot_path = path
@@ -207,7 +208,8 @@ class Testbed:
             path, self.config, pack_params(self.params, self.config).astype(np.float32),
             self.density_grid, self.dataset, self.aabb, self.render_aabb,
             self.render_aabb_to_local, self.bounding_radius,
-            self.training_step, self.loss)
+            self.training_step, self.loss,
+            extra_dims=getattr(self, "extra_dims", None))
 
     def update_occupancy(self):
         self.occ = occ_ops.build_occupancy(
@@ -315,6 +317,10 @@ class Testbed:
                   min_transmittance=self.nerf.render_min_transmittance)
         if getattr(self, "_baked_sigma", None) is not None:
             kw["use_baked_sigma"] = True
+        if getattr(self, "aperture_size", 0.0) > 0.0:
+            # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
+            kw["aperture_size"] = float(self.aperture_size)
+            kw["focus_z"] = float(getattr(self, "focus_z", 1.0))
         kw.update(self.march_overrides)
         return raymarch.MarchOptions(**kw)
 
@@ -324,6 +330,11 @@ class Testbed:
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
+        if (self.config.n_extra_learnable_dims
+                and getattr(self, "extra_dims", None) is not None):
+            # inference latent codes (get_inference_extra_dims,
+            # testbed.cu:1614-1631)
+            scene = raymarch.scene_with_extra_dims(scene, self.extra_dims)
         return scene
 
     def bake(self, resolution: int = 256):

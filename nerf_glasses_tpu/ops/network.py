@@ -51,13 +51,31 @@ def density_raw(params: Params, pos01: jnp.ndarray, config: NGPConfig,
 
 
 def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
-                  config: NGPConfig, compute_dtype=jnp.bfloat16
+                  config: NGPConfig, compute_dtype=jnp.bfloat16,
+                  extra: jnp.ndarray = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (rgb_raw (N,3), sigma_raw (N,)), both pre-activation fp32."""
+    """-> (rgb_raw (N,3), sigma_raw (N,)), both pre-activation fp32.
+
+    `extra` ((N,E) or (E,)) are the per-image learnable latent codes
+    appended to the rgb input when config.n_extra_learnable_dims > 0
+    (upstream's extra-dims path, testbed.cu:1614-1631); zeros when
+    omitted.
+    """
     d_out = density_raw(params, pos01, config, compute_dtype)
     sh = sh_encode(dir01, config.sh_degree, config.sh_out_padded)
-    rgb_in = jnp.concatenate(
-        [d_out.astype(compute_dtype), sh.astype(compute_dtype)], axis=-1)
+    parts = [d_out.astype(compute_dtype), sh.astype(compute_dtype)]
+    E = config.n_extra_learnable_dims
+    if E:
+        n = pos01.shape[0]
+        if extra is None:
+            extra = jnp.zeros((n, E))
+        extra = jnp.broadcast_to(jnp.atleast_2d(extra), (n, E))
+        parts.append(extra.astype(compute_dtype))
+    width = sum(p.shape[-1] for p in parts)
+    if width < config.rgb_in_width:
+        parts.append(jnp.zeros((pos01.shape[0],
+                                config.rgb_in_width - width), compute_dtype))
+    rgb_in = jnp.concatenate(parts, axis=-1)
     rgb_out = mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
     return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
 

@@ -86,6 +86,11 @@ class MarchOptions:
     use_baked_sigma: bool = False
     sig_threshold: float = 1e-3
     color_subchunk: int = 1 << 12
+    # depth of field (pixel_to_ray's aperture path, ngp_common.cuh:330-345):
+    # jitter origins on a Shirley disk of radius aperture_size in the
+    # camera plane, re-aiming each ray at its focus_z plane point
+    aperture_size: float = 0.0
+    focus_z: float = 1.0
 
     @property
     def cdtype(self):
@@ -103,6 +108,12 @@ def make_scene(occ_grid, render_aabb_min, render_aabb_max,
         "train_min": jnp.asarray(train_aabb_min, jnp.float32),
         "train_max": jnp.asarray(train_aabb_max, jnp.float32),
     }
+
+
+def scene_with_extra_dims(scene: Dict, extra_dims) -> Dict:
+    """Attach inference latent codes (E,) for models trained with
+    n_extra_learnable_dims > 0 (testbed.cu:1614-1631)."""
+    return {**scene, "extra_dims": jnp.asarray(extra_dims, jnp.float32)}
 
 
 def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
@@ -373,7 +384,8 @@ def _march_round(st, params, scene, opts: MarchOptions):
         def sub_body(i, rgb_flat):
             sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
             rgb_raw, _ = apply_network(params, pos_flat[sel], dir_flat[sel],
-                                       cfg, compute_dtype=opts.cdtype)
+                                       cfg, compute_dtype=opts.cdtype,
+                                       extra=scene.get("extra_dims"))
             rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
             return rgb_flat.at[sel].set(rgb_sel)
 
@@ -382,7 +394,7 @@ def _march_round(st, params, scene, opts: MarchOptions):
     else:
         rgb_raw, sigma_raw = apply_network(
             params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-            compute_dtype=opts.cdtype)
+            compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
         rgb_s = apply_rgb_activation(rgb_raw.reshape(K, n, 3),
                                      cfg.rgb_activation)
         sigma = apply_density_activation(sigma_raw.reshape(K, n),
@@ -606,8 +618,26 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
         ndc = jnp.stack([px / width * 2.0 - 1.0, py / height * 2.0 - 1.0,
                          jnp.ones((height, width))], axis=-1)
         d = (ndc @ cam[:, :3].T).reshape(-1, 3)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
+        if opts.aperture_size > 0.0:
+            # square -> Shirley disk of per-pixel low-discrepancy values
+            pix = jnp.arange(npix, dtype=jnp.uint32)
+            u = _hash_u32(pix * jnp.uint32(2654435761)
+                          + jnp.uint32(sample_index)) * 2.0 - 1.0
+            v = _hash_u32(pix * jnp.uint32(805459861)
+                          + jnp.uint32(sample_index * 9781 + 1)) * 2.0 - 1.0
+            r = jnp.where(jnp.abs(u) > jnp.abs(v), u, v)
+            phi = jnp.where(
+                jnp.abs(u) > jnp.abs(v), (jnp.pi / 4.0) * (v / jnp.where(
+                    u == 0.0, 1.0, u)),
+                (jnp.pi / 2.0) - (jnp.pi / 4.0) * (u / jnp.where(
+                    v == 0.0, 1.0, v)))
+            blur = opts.aperture_size * jnp.stack(
+                [r * jnp.cos(phi), r * jnp.sin(phi)], -1)        # (N, 2)
+            lookat = o + d * opts.focus_z
+            o = o + blur[:, :1] * cam[:, 0] + blur[:, 1:2] * cam[:, 1]
+            d = (lookat - o) / opts.focus_z
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         if has_surface:
             surf = surface_rgba.reshape(npix, 4)
             tsurf = t_surface.reshape(npix)

@@ -132,7 +132,7 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
 
         def loss_of(params):
             pred, _ = trainer_mod.forward_rays(
-                params, samples, d, bg, local_opts, state["aabb_min"],
+                params, samples, o, d, bg, local_opts, state["aabb_min"],
                 state["aabb_max"])
             return trainer_mod._loss_fn(pred, target_rgb, local_opts)
 

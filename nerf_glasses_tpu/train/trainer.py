@@ -77,6 +77,33 @@ class TrainOptions:
     # iterative_opencv_lens_undistortion, stubbed in the reference at
     # ngp_common.cuh:369-372)
     apply_lens_distortion: bool = False
+    # --- trainable auxiliary models (instant-ngp parity) ---
+    # per-image camera extrinsics refinement: axis-angle rotation +
+    # translation offsets, their own Adam (upstream's per-image
+    # AdamOptimizer/RotationAdamOptimizer, testbed.cu:1027-1118 /
+    # adam_optimizer.h)
+    optimize_extrinsics: bool = False
+    extrinsics_lr: float = 1e-4
+    # soft anchor pulling per-image offsets toward zero; removes the
+    # gauge freedom where scene + all cameras drift together (without it
+    # a single bad pose is absorbed into collective drift instead of
+    # being corrected)
+    extrinsics_l2_reg: float = 1e-3
+    # trainable 2-channel lens-distortion raster added to camera-plane
+    # ray coords (upstream's 32x32 TrainableBuffer distortion map,
+    # testbed.cu:1137-1304 / trainable_buffer.cuh)
+    optimize_distortion: bool = False
+    distortion_resolution: int = 32
+    distortion_lr: float = 1e-4
+    # trainable lat-long environment map used as the training
+    # background instead of random colors (upstream's envmap
+    # TrainableBuffer, 4ch; rgb here)
+    train_envmap: bool = False
+    envmap_resolution: tuple = (32, 64)      # (height, width)
+    envmap_lr: float = 1e-2
+    # learning rate for the per-image latent codes (active whenever
+    # config.n_extra_learnable_dims > 0)
+    extra_dims_lr: float = 1e-3
 
     @property
     def cdtype(self):
@@ -88,11 +115,29 @@ def adam_init(params):
     return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params)}
 
 
-def make_train_state(key, opts: TrainOptions, aabb_min, aabb_max):
+def make_train_state(key, opts: TrainOptions, aabb_min, aabb_max,
+                     n_images: int = 0):
     params = init_params(key, opts.config)
     n_casc = opts.config.max_cascade + 1
     grid = jnp.zeros((n_casc,) + (C.NERF_GRIDSIZE,) * 3, jnp.float32)
+    aux = {}
+    if opts.optimize_extrinsics:
+        assert n_images > 0, "optimize_extrinsics needs the image count"
+        aux["cam_rot"] = jnp.zeros((n_images, 3))
+        aux["cam_trans"] = jnp.zeros((n_images, 3))
+    if opts.optimize_distortion:
+        R = opts.distortion_resolution
+        aux["distortion"] = jnp.zeros((R, R, 2))
+    if opts.train_envmap:
+        he, we = opts.envmap_resolution
+        aux["envmap"] = jnp.full((he, we, 3), 0.5)
+    if opts.config.n_extra_learnable_dims:
+        assert n_images > 0, "latent codes need the image count"
+        aux["extra_dims"] = jnp.zeros(
+            (n_images, opts.config.n_extra_learnable_dims))
     return {
+        "aux": aux,
+        "aux_opt": adam_init(aux),
         "params": params,
         "opt": adam_init(params),
         "step": jnp.int32(0),
@@ -136,16 +181,64 @@ def dataset_has_distortion(ds: NerfDataset) -> bool:
 # Ray sampling + marching (differentiable forward)
 # ---------------------------------------------------------------------------
 
-def _sample_rays(rng, data, n_rays, apply_lens_distortion: bool = False):
-    """-> (o (B,3), d unit (B,3), target rgba (B,4))."""
+def _sample_pixels(rng, data, n_rays):
+    """-> (img (B,), px (B,), py (B,), target rgba (B,4))."""
     images = data["images"]
     n_img, h, w = images.shape[:3]
     k1, k2, k3 = jax.random.split(rng, 3)
     img = jax.random.randint(k1, (n_rays,), 0, n_img)
     px = jax.random.randint(k2, (n_rays,), 0, w)
     py = jax.random.randint(k3, (n_rays,), 0, h)
-    target = images[img, py, px]
+    return img, px, py, images[img, py, px]
 
+
+def _rotate_small(rv, v):
+    """Rodrigues rotation of v (B,3) by axis-angle rv (B,3), written
+    with sinc-style factors so gradients are finite at rv=0 (where the
+    per-image offsets start — RotationAdamOptimizer's variable,
+    adam_optimizer.h:96-159)."""
+    t2 = jnp.sum(rv * rv, axis=-1, keepdims=True)
+    small = t2 < 1e-8
+    # clamp the large-angle branch's inputs so its (unused) gradient at
+    # rv=0 stays finite — where() still differentiates both branches
+    t2c = jnp.maximum(t2, 1e-8)
+    theta = jnp.sqrt(t2c)
+    sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    cosf = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2c)
+    return (v + sinc * jnp.cross(rv, v)
+            + cosf * jnp.cross(rv, jnp.cross(rv, v)))
+
+
+def _bilinear2d(grid, u, v):
+    """Sample a (H, W, Cc) raster at continuous uv in [0,1] -> (B, Cc)."""
+    H, W = grid.shape[:2]
+    x = jnp.clip(u * W - 0.5, 0.0, W - 1.0)
+    y = jnp.clip(v * H - 0.5, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    return ((grid[y0, x0] * (1 - fx) + grid[y0, x1] * fx) * (1 - fy)
+            + (grid[y1, x0] * (1 - fx) + grid[y1, x1] * fx) * fy)
+
+
+def _sample_envmap_dir(env, d):
+    """Trainable lat-long envmap (H,W,3) sampled at ray dirs (B,3)
+    (convention of utils/lens.dir_to_latlong)."""
+    theta = jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[:, 0], d[:, 2])
+    u = phi / (2 * jnp.pi) + 0.5
+    v = theta / jnp.pi + 0.5
+    return _bilinear2d(env, u, v)
+
+
+def _gen_rays(data, img, px, py, aux, apply_lens_distortion: bool):
+    """Pixel indices -> world rays. Differentiable w.r.t. the trainable
+    aux models (per-image extrinsics offsets, distortion raster)."""
+    n_rays = img.shape[0]
+    h, w = data["images"].shape[1:3]
     fx = data["fx"][img]
     fy = data["fy"][img]
     xd = (px + 0.5 - data["cx"][img]) / fx
@@ -163,11 +256,26 @@ def _sample_rays(rng, data, n_rays, apply_lens_distortion: bool = False):
             xu = (xd - dx) / radial
             yu = (yd - dy) / radial
         xd, yd = xu, yu
+    if "distortion" in aux:
+        duv = _bilinear2d(aux["distortion"], (px + 0.5) / w, (py + 0.5) / h)
+        xd = xd + duv[:, 0]
+        yd = yd + duv[:, 1]
     dirs = jnp.stack([xd, yd, jnp.ones((n_rays,))], axis=-1)
     xf = data["xforms"][img]                  # (B, 3, 4)
     d = jnp.einsum("bij,bj->bi", xf[:, :, :3], dirs)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = xf[:, :, 3]
+    if "cam_rot" in aux:
+        d = _rotate_small(aux["cam_rot"][img], d)
+        o = o + aux["cam_trans"][img]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def _sample_rays(rng, data, n_rays, apply_lens_distortion: bool = False):
+    """-> (o (B,3), d unit (B,3), target rgba (B,4)). Convenience
+    wrapper without trainable aux models."""
+    img, px, py, target = _sample_pixels(rng, data, n_rays)
+    o, d = _gen_rays(data, img, px, py, {}, apply_lens_distortion)
     return o, d, target
 
 
@@ -230,24 +338,31 @@ def march_training_samples(occ, o, d, rng, opts: TrainOptions,
     t_s = (jnp.take_along_axis(t_start, h_idx, axis=0)
            + (s - jnp.take_along_axis(cum_ex, h_idx, axis=0)))
     valid = s < locc[None, :]
-    pos = o[None] + d[None] * t_s[..., None]
     dt_out = jnp.broadcast_to(dt_eff[None], (S, B))
-    return {"pos": pos, "dt": jnp.where(valid, dt_out, 0.0), "valid": valid}
+    # t (not positions) so forward_rays can recompute pos from rays that
+    # are differentiable w.r.t. the trainable camera offsets
+    return {"t": t_s, "dt": jnp.where(valid, dt_out, 0.0), "valid": valid}
 
 
-def forward_rays(params, samples, d, bg, opts: TrainOptions,
-                 aabb_min, aabb_max):
-    """Differentiable: network eval + composite -> (B, 3) rgb vs bg."""
+def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
+                 aabb_min, aabb_max, extra=None):
+    """Differentiable: network eval + composite -> (B, 3) rgb vs bg.
+    Positions are recomputed from (o, d, t) so gradients reach the
+    trainable per-image camera offsets when enabled."""
     cfg = opts.config
     S, B = samples["dt"].shape
     extent = aabb_max - aabb_min
-    pos01 = (samples["pos"] - aabb_min) / extent
+    pos = o[None] + d[None] * samples["t"][..., None]
+    pos01 = (pos - aabb_min) / extent
     pos01 = jnp.where(samples["valid"][..., None], pos01, 0.5)
     dir01 = (d + 1.0) * 0.5
     dir01_k = jnp.broadcast_to(dir01[None], (S,) + dir01.shape)
+    if extra is not None:
+        extra = jnp.broadcast_to(extra[None], (S,) + extra.shape
+                                 ).reshape(S * B, -1)
     rgb_raw, sigma_raw = apply_network(
         params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-        compute_dtype=opts.cdtype)
+        compute_dtype=opts.cdtype, extra=extra)
     rgb = apply_rgb_activation(rgb_raw.reshape(S, B, 3), cfg.rgb_activation)
     sigma = apply_density_activation(sigma_raw.reshape(S, B),
                                      cfg.density_activation)
@@ -335,31 +450,84 @@ def adam_update(params, grads, opt, step, opts: TrainOptions):
 # Train step + density grid maintenance
 # ---------------------------------------------------------------------------
 
+def _aux_lr(key: str, opts: TrainOptions) -> float:
+    return {"cam_rot": opts.extrinsics_lr, "cam_trans": opts.extrinsics_lr,
+            "distortion": opts.distortion_lr, "envmap": opts.envmap_lr,
+            "extra_dims": opts.extra_dims_lr}[key]
+
+
+def _aux_adam_update(aux, grads, opt, step, opts: TrainOptions):
+    """Adam for the auxiliary trainable models, each with its own lr
+    (upstream keeps separate AdamOptimizer instances per model)."""
+    t = step.astype(jnp.float32) + 1.0
+    b1, b2 = opts.beta1, opts.beta2
+    corr = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+    new_aux, new_m, new_v = {}, {}, {}
+    for key in aux:
+        g = grads[key]
+        if key in ("cam_rot", "cam_trans"):
+            g = g + opts.extrinsics_l2_reg * aux[key]
+        m = b1 * opt["m"][key] + (1 - b1) * g
+        v = b2 * opt["v"][key] + (1 - b2) * g * g
+        new_aux[key] = aux[key] - _aux_lr(key, opts) * corr * m / (
+            jnp.sqrt(v) + opts.eps)
+        new_m[key], new_v[key] = m, v
+    return new_aux, {"m": new_m, "v": new_v}
+
+
+def _ray_batch(state, data, r1, r2, n_rays, opts: TrainOptions):
+    """Sample pixels, build rays (with current aux offsets applied but
+    detached) and march the non-differentiable geometry pass."""
+    img, px, py, target = _sample_pixels(r1, data, n_rays)
+    o0, d0 = _gen_rays(data, img, px, py,
+                       jax.lax.stop_gradient(state["aux"]),
+                       opts.apply_lens_distortion)
+    samples = march_training_samples(
+        state["occ"], o0, d0, r2, opts, state["aabb_min"],
+        state["aabb_max"], opts.config.max_cascade)
+    return img, px, py, target, samples
+
+
+def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
+                    opts: TrainOptions):
+    def loss_of(tv):
+        params, aux = tv
+        o, d = _gen_rays(data, img, px, py, aux, opts.apply_lens_distortion)
+        bg = (_sample_envmap_dir(aux["envmap"], d)
+              if opts.train_envmap else bg_rand)
+        # in envmap mode the target-side composite must not carry
+        # gradients, or the envmap cancels out of the residual and
+        # never learns the true background
+        bg_t = jax.lax.stop_gradient(bg) if opts.train_envmap else bg
+        target_rgb = target[:, :3] + (1.0 - target[:, 3:4]) * bg_t
+        extra = aux["extra_dims"][img] if "extra_dims" in aux else None
+        pred, _ = forward_rays(params, samples, o, d, bg, opts,
+                               state["aabb_min"], state["aabb_max"],
+                               extra=extra)
+        return _loss_fn(pred, target_rgb, opts)
+
+    return jax.value_and_grad(loss_of)((state["params"], state["aux"]))
+
+
 @partial(jax.jit, static_argnames=("opts",), donate_argnums=(0,))
 def train_step(state, data, opts: TrainOptions):
     rng, r1, r2, r3 = jax.random.split(state["rng"], 4)
-    o, d, target = _sample_rays(r1, data, opts.rays_per_batch,
-                                opts.apply_lens_distortion)
-    samples = march_training_samples(
-        state["occ"], o, d, r2, opts, state["aabb_min"], state["aabb_max"],
-        opts.config.max_cascade)
-    if opts.random_bg:
+    img, px, py, target, samples = _ray_batch(state, data, r1, r2,
+                                              opts.rays_per_batch, opts)
+    if opts.random_bg and not opts.train_envmap:
         bg = jax.random.uniform(r3, (opts.rays_per_batch, 3))
     else:
         bg = jnp.ones((opts.rays_per_batch, 3))
-    target_rgb = target[:, :3] + (1.0 - target[:, 3:4]) * bg
-
-    def loss_of(params):
-        pred, _ = forward_rays(params, samples, d, bg, opts,
-                               state["aabb_min"], state["aabb_max"])
-        return _loss_fn(pred, target_rgb, opts)
-
-    loss, grads = jax.value_and_grad(loss_of)(state["params"])
+    loss, (grads, aux_grads) = _loss_and_grads(
+        state, data, img, px, py, target, samples, bg, opts)
     new_params, new_opt = adam_update(state["params"], grads, state["opt"],
                                       state["step"], opts)
+    new_aux, new_aux_opt = _aux_adam_update(
+        state["aux"], aux_grads, state["aux_opt"], state["step"], opts)
     ema = jnp.where(state["step"] == 0, loss,
                     0.99 * state["loss_ema"] + 0.01 * loss)
     return {**state, "params": new_params, "opt": new_opt,
+            "aux": new_aux, "aux_opt": new_aux_opt,
             "step": state["step"] + 1, "rng": rng, "loss_ema": ema}, loss
 
 
@@ -427,7 +595,8 @@ class Trainer:
         self.aabb_min = np.full(3, 0.5 - half, np.float32)
         self.aabb_max = np.full(3, 0.5 + half, np.float32)
         self.state = make_train_state(jax.random.PRNGKey(seed), opts,
-                                      self.aabb_min, self.aabb_max)
+                                      self.aabb_min, self.aabb_max,
+                                      n_images=dataset.n_images)
         self.loss = float("nan")
 
     @property
@@ -468,6 +637,27 @@ class Trainer:
                 break
         return self.loss
 
+    def optimized_xforms(self) -> np.ndarray:
+        """Dataset camera matrices with the trained per-image extrinsics
+        offsets applied (d' = R(rot_i) R_i dirs, o' = o_i + trans_i) —
+        the refined cameras upstream's camera optimizer converges to."""
+        xf = np.array(self.dataset.xforms, np.float32).copy()
+        if "cam_rot" not in self.state["aux"]:
+            return xf
+        rot = np.asarray(self.state["aux"]["cam_rot"])
+        trans = np.asarray(self.state["aux"]["cam_trans"])
+        for i in range(len(xf)):
+            theta = float(np.linalg.norm(rot[i]))
+            if theta > 1e-12:
+                k = rot[i] / theta
+                K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                              [-k[1], k[0], 0]], np.float32)
+                R = (np.eye(3, dtype=np.float32) + np.sin(theta) * K
+                     + (1 - np.cos(theta)) * (K @ K))
+                xf[i, :, :3] = R @ xf[i, :, :3]
+            xf[i, :, 3] += trans[i]
+        return xf
+
     def to_testbed(self):
         from nerf_glasses_tpu.models.testbed import Testbed
         tb = Testbed()
@@ -484,6 +674,10 @@ class Trainer:
         tb.render_aabb_to_local = self.dataset.render_aabb_to_local.copy()
         tb.training_step = self.step
         tb.loss = self.loss
+        if "extra_dims" in self.state["aux"]:
+            # default inference latents: the first training view's codes
+            # (get_inference_extra_dims' default, testbed.cu:1614-1631)
+            tb.extra_dims = np.asarray(self.state["aux"]["extra_dims"][0])
         tb._cone_angle = self.opts.config.cone_angle_constant
         tb.update_occupancy()
         return tb

@@ -137,3 +137,43 @@ def test_render_image_shapes():
     assert np.isfinite(fb).all()
     # central pixel looks at the cube -> nonzero alpha
     assert fb[12, 16, 3] > 0.5
+
+
+def test_depth_of_field_blurs_off_focus():
+    """aperture_size > 0 jitters ray origins on the aperture disk while
+    keeping the focus plane sharp (pixel_to_ray, ngp_common.cuh:330-345)."""
+    import dataclasses
+    from tests.helpers import opaque_params, make_sphere_density
+    import jax.numpy as jnp
+    from nerf_glasses_tpu.config import NGPConfig
+    from nerf_glasses_tpu.ops import raymarch, occupancy as occ_ops
+    import numpy as np
+
+    cfg = NGPConfig(n_levels=4, log2_hashmap_size=11, base_resolution=16,
+                    per_level_scale=1.5)
+    params = opaque_params(cfg)
+    grid = make_sphere_density(radius=0.2, value=1.0)
+    occ = occ_ops.build_occupancy(jnp.asarray(np.tile(grid, (8, 1, 1, 1))), 0)
+    scene = raymarch.make_scene(occ, np.zeros(3), np.ones(3), np.eye(3),
+                                np.zeros(3), np.ones(3))
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, 0] = [0.35, 0, 0]
+    cam[:, 1] = [0, 0.35, 0]
+    cam[:, 2] = [0, 0, 1]
+    cam[:, 3] = [0, 0, -1.0]       # +0.5 shift puts origin at (.5,.5,-.5)
+
+    base = raymarch.MarchOptions(config=cfg, jitter=False, max_rounds=64)
+    sharp, _ = raymarch.render_image_device(params, scene, cam, 32, 32, base)
+    # focus plane at the sphere front (~0.8 from origin): stays sharp-ish
+    dof = dataclasses.replace(base, aperture_size=0.15, focus_z=0.8)
+    blurred, _ = raymarch.render_image_device(params, scene, cam, 32, 32, dof)
+    sharp, blurred = np.asarray(sharp), np.asarray(blurred)
+    assert np.isfinite(blurred).all()
+    # alpha edge between sphere and background softens: count pixels with
+    # intermediate alpha
+    mid_sharp = ((sharp[..., 3] > 0.1) & (sharp[..., 3] < 0.9)).sum()
+    mid_blur = ((blurred[..., 3] > 0.1) & (blurred[..., 3] < 0.9)).sum()
+    assert mid_blur > mid_sharp + 5, (mid_sharp, mid_blur)
+    # the image is still the same scene (centers agree)
+    c = 16
+    assert abs(float(sharp[c, c, 3]) - float(blurred[c, c, 3])) < 0.2

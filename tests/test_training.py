@@ -176,3 +176,115 @@ def test_trained_alpha_matches_gt(trained):
     rgba = np.asarray(out["rgba"])
     assert rgba[0, 3] > 0.6      # through the sphere: opaque-ish
     assert rgba[1, 3] < 0.3      # corner ray: mostly empty
+
+
+# ---------------------------------------------------------------------------
+# Trainable auxiliary models (camera extrinsics / distortion / envmap —
+# upstream's per-image AdamOptimizer + TrainableBuffer, testbed.cu:1027-1304)
+# ---------------------------------------------------------------------------
+
+def test_extrinsics_optimization_recovers_perturbed_camera():
+    """Perturb one camera's stored pose; the per-image extrinsics
+    optimizer should move that camera (and mostly leave others alone),
+    reducing the pose error of the perturbed view."""
+    import dataclasses
+    ds = make_synth_dataset(8)
+    true_xf = np.array(ds.xforms).copy()
+    delta = np.array([0.06, -0.045, 0.03], np.float32)
+    bad = np.array(ds.xforms).copy()
+    bad[0, :, 3] += delta
+    ds.xforms = bad
+
+    opts = dataclasses.replace(TINY_OPTS, optimize_extrinsics=True,
+                               extrinsics_lr=2e-3)
+    tr = Trainer(ds, opts)
+    tr.occ_warmup_steps = 64
+    tr.train(500)
+    assert np.isfinite(tr.loss)
+
+    xf_opt = tr.optimized_xforms()
+    err_before = np.linalg.norm(delta)
+    err_after = np.linalg.norm(xf_opt[0, :, 3] - true_xf[0, :, 3])
+    # the optimizer must recover a meaningful fraction of the injected
+    # translation error...
+    assert err_after < err_before * 0.85, (err_before, err_after)
+    # ...moving the bad camera mostly along the corrective direction...
+    ct0 = np.asarray(tr.state["aux"]["cam_trans"])[0]
+    cos = ct0 @ (-delta) / (np.linalg.norm(ct0) * err_before + 1e-12)
+    assert cos > 0.3, cos
+    # ...while the L2 anchor keeps the good cameras roughly in place
+    moved = np.linalg.norm(np.asarray(tr.state["aux"]["cam_trans"]), axis=1)
+    assert moved[0] > 2.0 * np.median(moved[1:])
+
+
+def test_trainable_envmap_learns_background():
+    """Composite the synthetic views over a constant gray background
+    (alpha=1 everywhere, like real photos); the trainable envmap must
+    converge toward that color."""
+    import dataclasses
+    ds = make_synth_dataset(6)
+    gray = np.array([0.25, 0.5, 0.75], np.float32)
+    for i in range(ds.n_images):
+        im = np.array(ds.images[i])
+        a = im[..., 3:4]
+        im[..., :3] = im[..., :3] + (1 - a) * gray
+        im[..., 3] = 1.0
+        ds.images[i] = im
+
+    opts = dataclasses.replace(TINY_OPTS, train_envmap=True, envmap_lr=3e-2,
+                               random_bg=False)
+    tr = Trainer(ds, opts)
+    tr.occ_warmup_steps = 64
+    tr.train(250)
+    assert np.isfinite(tr.loss)
+    env = np.asarray(tr.state["aux"]["envmap"])
+    # sample the envmap where training rays actually looked (cameras sit
+    # slightly above the scene looking inward/down): the mean learned
+    # color over the observed band should approach the gray target
+    band = env[8:24]                     # mid latitudes
+    err = np.abs(band.mean(axis=(0, 1)) - gray)
+    assert (err < 0.15).all(), band.mean(axis=(0, 1))
+
+
+def test_distortion_optimizer_smoke():
+    """Trainable distortion raster updates stay finite and small on an
+    undistorted dataset (no signal to chase)."""
+    import dataclasses
+    opts = dataclasses.replace(TINY_OPTS, optimize_distortion=True)
+    tr = Trainer(make_synth_dataset(6), opts)
+    tr.occ_warmup_steps = 64
+    tr.train(60)
+    dist = np.asarray(tr.state["aux"]["distortion"])
+    assert np.isfinite(dist).all()
+    assert np.abs(dist).max() < 0.05
+
+
+def test_latent_codes_train_and_roundtrip(tmp_path):
+    """Per-image latent codes (n_extra_learnable_dims) separate across
+    images with differing appearance, survive the snapshot roundtrip,
+    and feed inference."""
+    import dataclasses
+    ds = make_synth_dataset(6)
+    # per-image brightness variation geometry alone cannot explain
+    for i in range(6):
+        im = np.array(ds.images[i])
+        im[..., :3] *= (0.6 + 0.15 * i)
+        ds.images[i] = im
+    cfg = dataclasses.replace(TINY_CFG, n_extra_learnable_dims=4)
+    opts = dataclasses.replace(TINY_OPTS, config=cfg)
+    tr = Trainer(ds, opts)
+    tr.occ_warmup_steps = 64
+    tr.train(120)
+    lat = np.asarray(tr.state["aux"]["extra_dims"])
+    assert np.isfinite(lat).all()
+    assert np.abs(lat - lat.mean(axis=0)).max() > 1e-3  # codes separated
+
+    snap = str(tmp_path / "lat.msgpack")
+    tr.save_snapshot(snap)
+    from nerf_glasses_tpu.models.testbed import Testbed
+    tb = Testbed()
+    tb.load_snapshot(snap)
+    assert tb.config.n_extra_learnable_dims == 4
+    np.testing.assert_allclose(tb.extra_dims, lat[0], atol=1e-2)
+    img = tb.render(32, 32, spp=1, linear=False)
+    assert np.isfinite(img).all()
