@@ -119,35 +119,29 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
         idx = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(state["rng"], idx)
         rng, r1, r2, r3 = jax.random.split(rng, 4)
-        o, d, target = trainer_mod._sample_rays(
-            r1, data, local_rays, opts.apply_lens_distortion)
-        samples = trainer_mod.march_training_samples(
-            state["occ"], o, d, r2, local_opts, state["aabb_min"],
-            state["aabb_max"], opts.config.max_cascade)
-        if opts.random_bg:
+        img, px, py, target, samples = trainer_mod._ray_batch(
+            state, data, r1, r2, local_rays, local_opts)
+        if opts.random_bg and not opts.train_envmap:
             bg = jax.random.uniform(r3, (local_rays, 3))
         else:
             bg = jnp.ones((local_rays, 3))
-        target_rgb = target[:, :3] + (1.0 - target[:, 3:4]) * bg
-
-        def loss_of(params):
-            pred, _ = trainer_mod.forward_rays(
-                params, samples, o, d, bg, local_opts, state["aabb_min"],
-                state["aabb_max"])
-            return trainer_mod._loss_fn(pred, target_rgb, local_opts)
-
-        loss, grads = jax.value_and_grad(loss_of)(state["params"])
+        loss, (grads, aux_grads) = trainer_mod._loss_and_grads(
+            state, data, img, px, py, target, samples, bg, local_opts)
         # all-reduce: mean over chips (each chip's loss is a mean over its
         # local rays, so the mean of means is the global mean)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.lax.pmean(grads, axis)
+        aux_grads = jax.lax.pmean(aux_grads, axis)
 
         new_params, new_opt = trainer_mod.adam_update(
             state["params"], grads, state["opt"], state["step"], opts)
+        new_aux, new_aux_opt = trainer_mod._aux_adam_update(
+            state["aux"], aux_grads, state["aux_opt"], state["step"], opts)
         new_rng = jax.random.split(state["rng"], 2)[0]
         ema = jnp.where(state["step"] == 0, loss,
                         0.99 * state["loss_ema"] + 0.01 * loss)
         return {**state, "params": new_params, "opt": new_opt,
+                "aux": new_aux, "aux_opt": new_aux_opt,
                 "step": state["step"] + 1, "rng": new_rng,
                 "loss_ema": ema}, loss
 
