@@ -24,7 +24,7 @@ N_FRAMES = 3
 GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf"
 
 
-def build_bench_snapshot(path):
+def build_bench_snapshot(path, cfg=None):
     """Head-sized density blob + network weights tuned for realistic
     early termination (opaque interior like a converged capture)."""
     import jax
@@ -32,7 +32,8 @@ def build_bench_snapshot(path):
     from nerf_glasses_tpu.config import NGPConfig
     from nerf_glasses_tpu.ops.network import init_params
 
-    cfg = NGPConfig.native_fast()
+    if cfg is None:
+        cfg = NGPConfig.native_fast()
     params = init_params(jax.random.PRNGKey(7), cfg)
     # spatially-varying but consistently high densities, calibrated so a
     # ray inside the blob reaches opacity within ~10-15 samples, like a

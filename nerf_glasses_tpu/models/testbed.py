@@ -325,6 +325,17 @@ class Testbed:
         return raymarch.MarchOptions(**kw)
 
     def _scene(self):
+        # memoized: make_scene builds the empty-space jump grid (a dozen
+        # device ops) — once per occupancy/render-aabb change, not per
+        # frame
+        key = (id(self.occ), self.render_aabb.min.tobytes(),
+               self.render_aabb.max.tobytes(),
+               self.render_aabb_to_local.tobytes(),
+               id(getattr(self, "_baked_sigma", None)),
+               id(getattr(self, "extra_dims", None)))
+        cached = getattr(self, "_scene_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         scene = raymarch.make_scene(
             self.occ, self.render_aabb.min, self.render_aabb.max,
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
@@ -335,6 +346,7 @@ class Testbed:
             # inference latent codes (get_inference_extra_dims,
             # testbed.cu:1614-1631)
             scene = raymarch.scene_with_extra_dims(scene, self.extra_dims)
+        self._scene_cache = (key, scene)
         return scene
 
     def bake(self, resolution: int = 256):

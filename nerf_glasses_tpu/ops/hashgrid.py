@@ -115,7 +115,19 @@ def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
             pos, float(scales[lvl]), int(res[lvl]), int(sizes[lvl]),
             bool(dense[lvl]))
         tab_l = table[lvl]
-        if fold > 1:
+        if config.wide_rows:
+            # 512B rows ride XLA's full-vreg gather fast path (~3.8x the
+            # narrow-row rate on v5e, see NGPConfig.wide_rows); slice the
+            # F live features after the gather (the barrier keeps XLA
+            # from narrowing the gather to the sliced width)
+            # (measured: XLA keeps the wide gather even with the slice
+            # fused right after it; an optimization_barrier here would
+            # force the full (N*8,128) rows to materialize in HBM and
+            # cost more than the fast path saves)
+            n = idx.shape[0]
+            rows = jnp.take(tab_l, idx.reshape(-1), axis=0)  # (N*8, 128)
+            vals = rows[:, :F].reshape(n, 8, F)
+        elif fold > 1:
             tab4 = tab_l.reshape(S // fold, fold * F)
             rows = jnp.take(tab4, idx >> 2, axis=0)      # (N, 8, fold*F)
             sub = idx & (fold - 1)
@@ -133,30 +145,46 @@ def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
     return jnp.concatenate(feats, axis=-1)
 
 
+WIDE_ROW = 128   # one fp32 vreg row (512B) — see NGPConfig.wide_rows
+
+
+def table_row_width(config: NGPConfig) -> int:
+    return WIDE_ROW if config.wide_rows else config.n_features_per_level
+
+
 def hash_table_init(key, config: NGPConfig, dtype=jnp.float32) -> jnp.ndarray:
-    """Uniform(-1e-4, 1e-4) init, matching tcnn grid.h initialize_params."""
-    return jax.random.uniform(
-        key, (config.n_levels, padded_table_rows(config),
-              config.n_features_per_level),
+    """Uniform(-1e-4, 1e-4) init, matching tcnn grid.h initialize_params.
+    Wide-row tables zero the dead pad lanes (never read, never packed)."""
+    F = config.n_features_per_level
+    tab = jax.random.uniform(
+        key, (config.n_levels, padded_table_rows(config), F),
         minval=-1e-4, maxval=1e-4, dtype=dtype)
+    W = table_row_width(config)
+    if W != F:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros(tab.shape[:2] + (W - F,), dtype)], axis=-1)
+    return tab
 
 
 def table_to_tcnn(table: np.ndarray, config: NGPConfig) -> np.ndarray:
-    """(L, S, F) padded -> flat tcnn param vector (offset-table layout)."""
+    """(L, S, W) padded -> flat tcnn param vector (offset-table layout);
+    wide-row pad lanes are dropped."""
+    F = config.n_features_per_level
     parts = []
     for lvl, (offset, size, _res) in enumerate(config.level_params()):
-        parts.append(np.asarray(table[lvl][:size]).reshape(-1))
+        parts.append(np.asarray(table[lvl][:size, :F]).reshape(-1))
     return np.concatenate(parts)
 
 
 def table_from_tcnn(flat: np.ndarray, config: NGPConfig) -> np.ndarray:
-    """Flat tcnn param vector -> (L, S, F) padded."""
+    """Flat tcnn param vector -> (L, S, W) padded (wide pad lanes zero)."""
     L = config.n_levels
     F = config.n_features_per_level
     S = padded_table_rows(config)
-    out = np.zeros((L, S, F), np.float32)
+    out = np.zeros((L, S, table_row_width(config)), np.float32)
     for lvl, (offset, size, _res) in enumerate(config.level_params()):
-        out[lvl, :size] = flat[offset * F:(offset + size) * F].reshape(size, F)
+        out[lvl, :size, :F] = flat[offset * F:(offset + size) * F
+                                   ].reshape(size, F)
     return out
 
 

@@ -163,3 +163,40 @@ def linear_cascades_to_morton(values_linear: np.ndarray) -> np.ndarray:
     out = np.empty_like(flat)
     out[:, lut] = flat
     return out
+
+# ---------------------------------------------------------------------------
+# Empty-space jump grid (cascade 0)
+# ---------------------------------------------------------------------------
+
+def build_skip_grid(occ: jnp.ndarray, max_level: int = 4) -> jnp.ndarray:
+    """Per-voxel empty-space jump levels for cascade 0 -> (G,G,G) uint8.
+
+    255 = occupied; otherwise the value k is the COARSEST level such that
+    the aligned 2^k-voxel block containing the voxel is entirely empty
+    (0..max_level). A marcher then advances to that block's boundary in
+    a single step, so one uint8 gather buys a jump of up to 2^max_level
+    voxels. This recovers the multi-resolution empty-space skipping the
+    reference gets from its cascade mips (testbed.cu:293-315) INSIDE a
+    single cascade, where every DDA probe would otherwise move one fine
+    voxel. The occupancy gather is the dominant cost of every skipping
+    loop on TPU (one (N,) random gather per iteration), so fewer, larger
+    jumps translate ~1:1 into frame time.
+    """
+    g = jnp.asarray(occ[0] > 0)                      # (G, G, G) [z, y, x]
+    skip = jnp.zeros((C.NERF_GRIDSIZE,) * 3, jnp.uint8)
+    level = g
+    for k in range(1, max_level + 1):
+        G = C.NERF_GRIDSIZE >> k
+        level = level.reshape(G, 2, G, 2, G, 2).any(axis=(1, 3, 5))
+        up = jnp.repeat(jnp.repeat(jnp.repeat(
+            level, 1 << k, 0), 1 << k, 1), 1 << k, 2)
+        skip = jnp.where(~up, jnp.uint8(k), skip)
+    return jnp.where(g, jnp.uint8(255), skip)
+
+
+def skip_level_at(skip: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Gather jump levels at cascade-0 positions (..., 3) -> (...,) uint8
+    (same trunc-toward-zero indexing as occupied_at)."""
+    i = jnp.clip(jnp.trunc(pos * GRID).astype(jnp.int32), 0, GRID - 1)
+    flat = (i[..., 2] * GRID + i[..., 1]) * GRID + i[..., 0]
+    return jnp.take(skip.reshape(-1), flat, mode="clip")

@@ -86,6 +86,19 @@ class MarchOptions:
     use_baked_sigma: bool = False
     sig_threshold: float = 1e-3
     color_subchunk: int = 1 << 12
+    # Vectorized rounds: with cone_angle == 0 the step size is constant,
+    # so a round's K sample positions are t + i*dt — computable in one
+    # vectorized shot (single batched occupancy probe, cumprod
+    # compositing) instead of K sequential gen/composite scan steps of
+    # ~25 small ops each. The sequential path spends the frame budget on
+    # Measured SLOWER end-to-end on v5e (the sequential path's cost is
+    # the occupancy gathers, which the vectorized path repeats per
+    # sample while covering less distance per round); retained as an
+    # alternative for hardware with different dispatch economics.
+    # Samples in unoccupied voxels get zero alpha instead of being
+    # skipped; the per-epoch advance pass still jumps the long empty
+    # stretches.
+    vector_rounds: bool = False
     # depth of field (pixel_to_ray's aperture path, ngp_common.cuh:330-345):
     # jitter origins on a Shirley disk of radius aperture_size in the
     # camera plane, re-aiming each ray at its focus_z plane point
@@ -100,8 +113,11 @@ class MarchOptions:
 def make_scene(occ_grid, render_aabb_min, render_aabb_max,
                render_aabb_to_local, train_aabb_min, train_aabb_max) -> Dict:
     """Bundle the non-parameter scene arrays."""
+    occ_dev = jnp.asarray(occ_grid, jnp.uint8)
     return {
-        "occ": jnp.asarray(occ_grid, jnp.uint8),
+        "occ": occ_dev,
+        # single-gather multi-level empty-space jumps (cascade 0)
+        "skip": occ_ops.build_skip_grid(occ_dev),
         "render_min": jnp.asarray(render_aabb_min, jnp.float32),
         "render_max": jnp.asarray(render_aabb_max, jnp.float32),
         "local": jnp.asarray(render_aabb_to_local, jnp.float32),
@@ -129,6 +145,28 @@ def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
 def _contains_local(pos, scene):
     local_pos = pos @ scene["local"].T
     return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
+
+
+def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
+    """One-gather DDA probe -> (occupied, t_advanced).
+
+    On single-cascade scenes the jump grid gives both the occupancy bit
+    and the coarsest safely-empty block level in a single uint8 gather,
+    so each skipping iteration advances to that block's boundary (up to
+    16 voxels) instead of one fine voxel. Multi-cascade scenes fall back
+    to the per-mip probe."""
+    if opts.config.max_cascade == 0 and opts.min_mip == 0 and "skip" in scene:
+        lv = occ_ops.skip_level_at(scene["skip"], pos)
+        occ = lv == 255
+        res = (C.NERF_GRIDSIZE >> jnp.minimum(lv, 4).astype(jnp.int32)
+               ).astype(jnp.float32)
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                            idir, res)
+        return occ, adv
+    occ, mip = _occupied(scene, pos, dt, opts)
+    res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
+    adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d, idir, res)
+    return occ, adv
 
 
 def _occupied(scene, pos, dt, opts: MarchOptions):
@@ -180,9 +218,7 @@ def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
         at_surface = has_surface & (t > t_surface)
         inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, mip = _occupied(scene, pos, dt, opts)
-        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d, idir, res)
+        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
 
         newly_surface = ~settled & alive & at_surface
         newly_exit = ~settled & alive & ~at_surface & ~inside
@@ -245,10 +281,7 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
         surf_pending = surf_live & (t >= t_surface)
         inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t - st["t_start"], opts.cone_angle)
-        occ, mip = _occupied(scene, pos, dt, opts)
-        res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
-                                            idir, res)
+        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
         # exit, stop at occupancy
         newly_park = active & (surf_pending | (~inside & surf_live))
@@ -294,10 +327,7 @@ def _march_round(st, params, scene, opts: MarchOptions):
             surf_stop = has_surface & (t > t_surface) & (surf_a >= 1.0)
             inside = _contains_local(pos, scene)
             dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
-            occ, mip = _occupied(scene, pos, dt, opts)
-            res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-            adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
-                                                idir, res)
+            occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
             new_status = jnp.where(
                 surf_stop, 3, jnp.where(~inside, 2, jnp.where(occ, 1, 0)))
             status = jnp.where(active, new_status, status)
@@ -320,10 +350,31 @@ def _march_round(st, params, scene, opts: MarchOptions):
         return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
 
     t_round_start = st["t"]
-    (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
-        gen_step, (st["t"], st["alive"], st["surf_a"]), None, length=K)
-    exited = exited_k.any(axis=0) & st["alive"]
-    surf_stopped = surfstop_k.any(axis=0) & st["alive"]
+    if opts.vector_rounds and opts.cone_angle == 0.0:
+        # constant-dt fast path: all K sample positions in one shot
+        dt_c = occ_ops.calc_dt(jnp.zeros(()), 0.0)
+        t_i = st["t"][None] + dt_c * jnp.arange(K, dtype=jnp.float32)[:, None]
+        pos_k = o[None] + d[None] * t_i[..., None]               # (K, n, 3)
+        surf_block = (has_surface[None] & (t_i > t_surface[None])
+                      & (st["surf_a"][None] >= 1.0))
+        inside = _contains_local(pos_k.reshape(-1, 3), scene).reshape(K, n)
+        occ_k, _ = _occupied(scene, pos_k.reshape(-1, 3),
+                             jnp.full((K * n,), dt_c), opts)
+        occ_k = occ_k.reshape(K, n)
+        samples = {"pos": pos_k,
+                   "dt": jnp.full((K, n), dt_c),
+                   "valid": inside & occ_k & ~surf_block,
+                   "t_sample": t_i}
+        surf_stopped = surf_block.any(axis=0) & st["alive"]
+        exited = (~inside).any(axis=0) & st["alive"] & ~surf_stopped
+        t_end = jnp.where(st["alive"],
+                          jnp.where(surf_stopped, t_surface,
+                                    st["t"] + K * dt_c), st["t"])
+    else:
+        (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
+            gen_step, (st["t"], st["alive"], st["surf_a"]), None, length=K)
+        exited = exited_k.any(axis=0) & st["alive"]
+        surf_stopped = surfstop_k.any(axis=0) & st["alive"]
     terminated_early = exited | surf_stopped
 
     # --- network evaluation on the (n*K) masked batch --------------------
@@ -401,25 +452,59 @@ def _march_round(st, params, scene, opts: MarchOptions):
                                          cfg.density_activation)
         alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
 
-    def comp_step(carry, inp):
-        rgba, depth, max_w, comp_alive = carry
-        s_valid, alpha, rgb, t_sample = inp
-        use = comp_alive & s_valid
-        T = 1.0 - rgba[:, 3]
-        w = jnp.where(use, alpha * T, 0.0)
-        rgba = rgba + jnp.concatenate([rgb * w[:, None], w[:, None]], axis=-1)
-        upd = w > max_w
-        max_w = jnp.where(upd, w, max_w)
-        depth = jnp.where(upd & use, t_sample, depth)
-        done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
-        rgba = jnp.where(done[:, None],
+    if opts.vector_rounds:
+        # closed-form front-to-back compositing of the round's K samples
+        # (identical math to the sequential comp_step scan: w_i = alpha_i
+        # * T0 * prod_{j<i}(1 - alpha_j), stop at the first sample that
+        # pushes accumulated alpha past 1 - min_transmittance)
+        use = comp_alive[None] & valid                         # (K, n)
+        alpha_u = jnp.where(use, alpha_k, 0.0)
+        T0 = 1.0 - rgba[:, 3]                                  # (n,)
+        texcl = jnp.concatenate(
+            [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_u, axis=0)[:-1]], 0)
+        w_all = alpha_u * T0[None] * texcl                     # (K, n)
+        a_cum = rgba[:, 3][None] + jnp.cumsum(w_all, axis=0)
+        done_k = use & (a_cum > 1.0 - opts.min_transmittance)
+        # samples after the first 'done' are never composited
+        blocked = jnp.concatenate(
+            [jnp.zeros((1, n), bool), jnp.cumsum(done_k, axis=0)[:-1] > 0], 0)
+        w = jnp.where(blocked, 0.0, w_all)
+        rgba = rgba + jnp.concatenate(
+            [jnp.sum(w[..., None] * rgb_s, axis=0),
+             jnp.sum(w, axis=0, keepdims=True).T], axis=-1)
+        # depth = distance of the round's max-weight sample if it beats
+        # the carried max (first occurrence, matching the sequential >)
+        w_max = jnp.max(w, axis=0)
+        w_arg = jnp.argmax(w, axis=0)
+        t_at = jnp.take_along_axis(samples["t_sample"], w_arg[None], 0)[0]
+        upd = w_max > st["max_weight"]
+        max_w = jnp.where(upd, w_max, st["max_weight"])
+        depth = jnp.where(upd, t_at, st["depth"])
+        saturated = (done_k & ~blocked).any(axis=0)
+        rgba = jnp.where(saturated[:, None],
                          rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
-        comp_alive = comp_alive & ~done
-        return (rgba, depth, max_w, comp_alive), None
+        comp_alive = comp_alive & ~saturated
+    else:
+        def comp_step(carry, inp):
+            rgba, depth, max_w, comp_alive = carry
+            s_valid, alpha, rgb, t_sample = inp
+            use = comp_alive & s_valid
+            T = 1.0 - rgba[:, 3]
+            w = jnp.where(use, alpha * T, 0.0)
+            rgba = rgba + jnp.concatenate([rgb * w[:, None], w[:, None]],
+                                          axis=-1)
+            upd = w > max_w
+            max_w = jnp.where(upd, w, max_w)
+            depth = jnp.where(upd & use, t_sample, depth)
+            done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
+            rgba = jnp.where(done[:, None],
+                             rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+            comp_alive = comp_alive & ~done
+            return (rgba, depth, max_w, comp_alive), None
 
-    (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
-        comp_step, (rgba, st["depth"], st["max_weight"], comp_alive),
-        (valid, alpha_k, rgb_s, samples["t_sample"]))
+        (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
+            comp_step, (rgba, st["depth"], st["max_weight"], comp_alive),
+            (valid, alpha_k, rgb_s, samples["t_sample"]))
 
     # final surface blend for terminated rays (testbed.cu:886-897)
     fin = comp_alive & terminated_early & (surf_a > 0.0)
