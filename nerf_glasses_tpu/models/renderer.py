@@ -258,18 +258,23 @@ class NerfMeshRenderer:
     # Density-grid dump / load (nerf_mesh_renderer.cu:239-358)
     # ------------------------------------------------------------------
 
-    def dump_density_grid(self) -> np.ndarray:
+    def dump_density_grid(self, nerf_index: int = 0) -> np.ndarray:
         """-> (8, 128, 128, 128) uint8 0/1 in [mip, z, y, x] layout with x
         fastest — byte-identical to the reference dump file format
-        (x + 128*(y + 128*(z + 128*mip)))."""
-        occ = np.asarray(self._nerfs[-1].occ, np.uint8)
+        (x + 128*(y + 128*(z + 128*mip))). Operates on the first (active)
+        NeRF by default, as the reference does
+        (nerf_mesh_renderer.cu:901-917)."""
+        occ = np.asarray(self._nerfs[nerf_index].occ, np.uint8)
         return (occ > 0).astype(np.uint8)
 
-    def load_density_grid_array(self, grid: np.ndarray):
+    def load_density_grid_array(self, grid: np.ndarray,
+                                nerf_index: int = 0):
         import jax.numpy as jnp_
-        self._nerfs[-1].occ = jnp_.asarray(
+        nerf = self._nerfs[nerf_index]
+        nerf.occ = jnp_.asarray(
             (np.asarray(grid).reshape(8, 128, 128, 128) > 0)
             .astype(np.uint8))
+        nerf._scene_cache = None
 
     def dump_density_grid_file(self, filename: str):
         with open(filename, "wb") as f:

@@ -163,6 +163,7 @@ class Testbed:
         self.training_step = 0
         self.loss = 0.0
         self._cone_angle = 0.0
+        self.distortion_map = None    # (Hg, Wg, 2) trained distortion
         self.nerf = NerfRenderSettings(self)
         self._training_view = _TrainingView(self)
 
@@ -386,7 +387,8 @@ class Testbed:
         self.reset_accumulation()
 
     def render_frame_buffers(self, width: int, height: int,
-                             sample_index: int = 0):
+                             sample_index: int = 0, camera_end=None,
+                             rolling_shutter=None):
         """One sample: -> (frame (H,W,4) linear premultiplied, depth),
         device-resident jnp arrays."""
         if self.params is None:
@@ -396,10 +398,25 @@ class Testbed:
         if self._surface_rgba is not None and self._surface_res == (width, height):
             surface_rgba = self._surface_rgba
             t_surface = self._surface_t
+        # lens-distorted ray generation (render_nerf's render_lens /
+        # grid-distortion gating, testbed.cu:1530-1535)
+        lens_mode = "perspective"
+        lens_params = None
+        distortion_grid = None
+        if self.nerf.render_with_lens_distortion:
+            if self.dataset.metadata:
+                md = self.dataset.metadata[0]
+                lens_mode = md.lens_mode
+                lens_params = md.lens_params
+            distortion_grid = self.distortion_map
         return raymarch.render_image_device(
             self.params, self._scene(), self.camera_matrix, width, height,
             self._march_options(), surface_rgba, t_surface, sample_index,
-            linear_colors=self._training_view.linear_colors)
+            linear_colors=self._training_view.linear_colors,
+            lens_mode=lens_mode, lens_params=lens_params,
+            snap_centers=self.snap_to_pixel_centers,
+            camera_end=camera_end, rolling_shutter=rolling_shutter,
+            distortion_grid=distortion_grid)
 
     def render(self, width: int = 1920, height: int = 1080, spp: int = 1,
                linear: bool = True) -> np.ndarray:
@@ -529,17 +546,37 @@ class Testbed:
                                     camera_transform_end, rolling_shutter,
                                     width: int, height: int, spp: int = 1,
                                     linear: bool = True) -> np.ndarray:
+        """Per-pixel shutter-time camera interpolation: each ray renders
+        through cam = start*ray_time + end*(1-ray_time) with ray_time =
+        rs.x + rs.y*u + rs.z*v + rs.w*rand (python_api.cu:113-126 ->
+        init_rays_with_payload, testbed.cu:398-406)."""
         from nerf_glasses_tpu.io.dataset import nerf_matrix_to_ngp
         start = nerf_matrix_to_ngp(np.asarray(camera_transform_start),
                                    self.dataset.scale, self.dataset.offset,
                                    self.dataset.from_mitsuba)
-        # per-frame shutter interpolation is a smoothing refinement; the
-        # start camera drives the render (the reference's windowless path
-        # passes start==end for stills, python_api.cu:89-98)
+        end = nerf_matrix_to_ngp(np.asarray(camera_transform_end),
+                                 self.dataset.scale, self.dataset.offset,
+                                 self.dataset.from_mitsuba)
+        rshut = np.asarray(rolling_shutter, np.float32).reshape(4)
         saved = self.camera_matrix.copy()
         self.camera_matrix = start
         try:
-            return self.render(width, height, spp, linear)
+            self.reset_accumulation()
+            accum = None
+            for i in range(spp):
+                frame, depth = self.render_frame_buffers(
+                    width, height, i, camera_end=end,
+                    rolling_shutter=rshut)
+                accum = accumulate(
+                    jnp.zeros_like(frame) if accum is None else accum,
+                    frame, i, self.color_space)
+            self._depth_buffer = depth
+            self._frame_buffer = frame
+            out = tonemap_frame(accum, self.exposure,
+                                self.background_color, self.color_space,
+                                "linear" if linear else "srgb",
+                                self.tonemap_curve)
+            return np.asarray(out, np.float32)
         finally:
             self.camera_matrix = saved
 

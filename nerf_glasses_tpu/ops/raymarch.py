@@ -142,6 +142,96 @@ def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32) * (1.0 / 4294967296.0)
 
 
+def _radical_inverse(base: int, i) -> jnp.ndarray:
+    """Halton radical inverse of a traced non-negative integer -> [0,1).
+    Drives the per-sample sub-pixel offset (the TPU stand-in for
+    random_val.cuh's ld_random_pixel_offset, which the reference feeds a
+    scrambled Sobol sequence)."""
+    i = jnp.asarray(i, jnp.int32)
+
+    def body(_, carry):
+        i, f, out = carry
+        out = out + f * (i % base).astype(jnp.float32)
+        return i // base, f / base, out
+
+    # 20 digits cover indices < base^20 for base >= 2
+    _, _, out = jax.lax.fori_loop(
+        0, 20, body, (i, jnp.float32(1.0 / base), jnp.float32(0.0)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lens models, traced (parity with utils/lens.py's numpy versions and the
+# reference's pixel_to_ray, ngp_common.cuh:277-372)
+# ---------------------------------------------------------------------------
+
+def _f_theta_dirs(uv, lens_params):
+    """uv (..., 2) offsets from screen center -> camera-space dirs.
+    (f_theta_undistortion, ngp_common.cuh:277-291; rays with no stable
+    solution get dir (1000,0,0), putting them outside the aabb.)"""
+    p = lens_params
+    xpix = uv[..., 0] * p[5]
+    ypix = uv[..., 1] * p[6]
+    norm = jnp.sqrt(xpix * xpix + ypix * ypix)
+    alpha = p[0] + norm * (p[1] + norm * (p[2] + norm * (p[3] + norm * p[4])))
+    sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
+    bad = (cos_a <= jnp.float32(np.finfo(np.float32).tiny)) | (norm == 0.0)
+    s = sin_a / jnp.where(norm == 0.0, 1.0, norm)
+    out = jnp.stack([s * xpix, s * ypix, cos_a], axis=-1)
+    err = jnp.array([1000.0, 0.0, 0.0], jnp.float32)
+    return jnp.where(bad[..., None], err, out)
+
+
+def _latlong_dirs(uv):
+    """uv (..., 2) in [0,1] -> unit dirs (latlong_to_dir,
+    ngp_common.cuh:293-299)."""
+    theta = (uv[..., 1] - 0.5) * jnp.pi
+    phi = (uv[..., 0] - 0.5) * jnp.pi * 2.0
+    ct = jnp.cos(theta)
+    return jnp.stack([jnp.sin(phi) * ct, jnp.sin(theta),
+                      jnp.cos(phi) * ct], axis=-1)
+
+
+def _opencv_undistort(x, y, lens_params, iterations: int = 10):
+    """Iteratively invert OpenCV radial+tangential distortion (upstream
+    instant-ngp's iterative_opencv_lens_undistortion; the reference stubs
+    the call site at ngp_common.cuh:369-372 — wired here)."""
+    k1, k2, p1, p2 = (lens_params[0], lens_params[1],
+                      lens_params[2], lens_params[3])
+    xu, yu = x, y
+
+    def body(_, carry):
+        xu, yu = carry
+        r2 = xu * xu + yu * yu
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        dx = 2 * p1 * xu * yu + p2 * (r2 + 2 * xu * xu)
+        dy = p1 * (r2 + 2 * yu * yu) + 2 * p2 * xu * yu
+        return (x - dx) / radial, (y - dy) / radial
+
+    xu, yu = jax.lax.fori_loop(0, iterations, body, (xu, yu))
+    return xu, yu
+
+
+def _read_image2(grid, uv):
+    """Bilinear (pos * (res-1)) sample of an (Hg, Wg, 2) grid at uv (..., 2)
+    — read_image<2> semantics (ngp_common.cuh:302-332), used for the
+    trained distortion map."""
+    hg, wg = grid.shape[0], grid.shape[1]
+    pf = jnp.stack([uv[..., 0] * (wg - 1), uv[..., 1] * (hg - 1)], -1)
+    t = jnp.floor(pf).astype(jnp.int32)
+    w = pf - t
+
+    def at(dx, dy):
+        xi = jnp.clip(t[..., 0] + dx, 0, wg - 1)
+        yi = jnp.clip(t[..., 1] + dy, 0, hg - 1)
+        return grid[yi, xi]
+
+    return ((1 - w[..., :1]) * (1 - w[..., 1:]) * at(0, 0)
+            + w[..., :1] * (1 - w[..., 1:]) * at(1, 0)
+            + (1 - w[..., :1]) * w[..., 1:] * at(0, 1)
+            + w[..., :1] * w[..., 1:] * at(1, 1))
+
+
 def _contains_local(pos, scene):
     local_pos = pos @ scene["local"].T
     return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
@@ -683,27 +773,80 @@ _FRAME_FN_CACHE = {}
 
 
 def _get_frame_fn(opts: MarchOptions, width: int, height: int,
-                  has_surface: bool, linear_colors: bool):
+                  has_surface: bool, linear_colors: bool,
+                  lens_mode: str = "perspective",
+                  snap_centers: bool = False, shutter: bool = False,
+                  has_dist_grid: bool = False):
     """Jitted whole-frame function: device-side ray generation + padding
-    + compacting march + shade. Per frame only the 3x4 camera (and the
-    surface buffers, already on device from the mesh pass) move."""
+    + compacting march + shade. Per frame only the 3x4 camera(s) (and the
+    surface buffers, already on device from the mesh pass) move.
+
+    Ray generation follows pixel_to_ray (ngp_common.cuh:336-399):
+      - per-sample low-discrepancy sub-pixel offsets (Halton 2/3 on the
+        sample index) unless snap_centers, so accumulation anti-aliases
+        [deliberate deviation: the reference's perspective branch pins
+        pixel centers (ngp_common.cuh:365-368, uv-based lines commented
+        out); we follow upstream instant-ngp and use the offset uv];
+      - lens modes: perspective (default), opencv (iterative
+        undistortion), ftheta, latlong;
+      - an optional trained distortion grid added to dir.xy;
+      - rolling shutter: per-pixel camera lerp cam0*ray_time +
+        cam1*(1-ray_time) with ray_time = rs.x + rs.y*u + rs.z*v +
+        rs.w*rand (testbed.cu:398-406).
+    """
     npix = width * height
     chunk = min(opts.chunk, 1 << int(np.ceil(np.log2(max(npix, 1)))))
     if chunk != opts.chunk:
         opts = dataclasses.replace(opts, chunk=chunk)
     pad = (-npix) % opts.chunk
-    key = (opts, width, height, has_surface, linear_colors)
+    key = (opts, width, height, has_surface, linear_colors, lens_mode,
+           snap_centers, shutter, has_dist_grid)
     fn = _FRAME_FN_CACHE.get(key)
     if fn is not None:
         return fn
 
-    def f(params, scene, cam, surface_rgba, t_surface, sample_index):
-        px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
-        py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
-        ndc = jnp.stack([px / width * 2.0 - 1.0, py / height * 2.0 - 1.0,
-                         jnp.ones((height, width))], axis=-1)
-        d = (ndc @ cam[:, :3].T).reshape(-1, 3)
-        o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
+    def f(params, scene, cam, cam_end, rshut, lens_params, dist_grid,
+          surface_rgba, t_surface, sample_index):
+        px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+        py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        if snap_centers:
+            ox = jnp.float32(0.5)
+            oy = jnp.float32(0.5)
+        else:
+            ox = _radical_inverse(2, sample_index + 1)
+            oy = _radical_inverse(3, sample_index + 1)
+        u = (px + ox) / width
+        v = (py + oy) / height
+        uv = jnp.stack([u, v], axis=-1)
+
+        if lens_mode == "ftheta":
+            dir_cam = _f_theta_dirs(uv - 0.5, lens_params)
+        elif lens_mode == "latlong":
+            dir_cam = _latlong_dirs(uv)
+        else:
+            x = u * 2.0 - 1.0
+            y = v * 2.0 - 1.0
+            if lens_mode == "opencv":
+                x, y = _opencv_undistort(x, y, lens_params)
+            dir_cam = jnp.stack([x, y, jnp.ones((height, width))], axis=-1)
+        if has_dist_grid:
+            dir_cam = dir_cam.at[..., :2].add(_read_image2(dist_grid, uv))
+        dir_cam = dir_cam.reshape(-1, 3)
+
+        if shutter:
+            pix = jnp.arange(npix, dtype=jnp.uint32)
+            rnd = _hash_u32(pix * jnp.uint32(72239731)
+                            + jnp.asarray(sample_index).astype(jnp.uint32)
+                            * jnp.uint32(2654435761))
+            ray_time = (rshut[0] + rshut[1] * u.reshape(-1)
+                        + rshut[2] * v.reshape(-1) + rshut[3] * rnd)
+            rt = ray_time[:, None, None]
+            cam_px = cam[None] * rt + cam_end[None] * (1.0 - rt)  # (N,3,4)
+            d = jnp.einsum("nij,nj->ni", cam_px[:, :, :3], dir_cam)
+            o = cam_px[:, :, 3] + 0.5
+        else:
+            d = dir_cam @ cam[:, :3].T
+            o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
         if opts.aperture_size > 0.0:
             # square -> Shirley disk of per-pixel low-discrepancy values
             pix = jnp.arange(npix, dtype=jnp.uint32)
@@ -748,20 +891,38 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
 def render_image_device(params, scene, camera, width: int, height: int,
                         opts: MarchOptions, surface_rgba=None,
                         t_surface=None, sample_index: int = 0,
-                        linear_colors: bool = False):
+                        linear_colors: bool = False,
+                        lens_mode: str = "perspective", lens_params=None,
+                        snap_centers: bool = False, camera_end=None,
+                        rolling_shutter=None, distortion_grid=None):
     """Render a full frame entirely on device (ONE dispatch chain) ->
     (framebuffer (H,W,4) linear premultiplied, depth (H,W)) jnp arrays.
 
     The shade step converts accumulated radiance sRGB->linear unless
     `linear_colors` (shade_kernel_nerf, testbed.cu:907-931).
+
+    Optional ray-gen features (see _get_frame_fn): lens_mode/lens_params,
+    snap_centers (pin pixel centers, disabling per-sample AA offsets),
+    camera_end + rolling_shutter (4,) for per-pixel shutter-time camera
+    interpolation, distortion_grid (Hg, Wg, 2) trained distortion map.
     """
     has_surface = surface_rgba is not None
-    fn = _get_frame_fn(opts, width, height, has_surface, linear_colors)
-    npix = width * height
+    shutter = camera_end is not None and rolling_shutter is not None
+    has_dist_grid = distortion_grid is not None
+    fn = _get_frame_fn(opts, width, height, has_surface, linear_colors,
+                       lens_mode, snap_centers, shutter, has_dist_grid)
     if not has_surface:
         surface_rgba = jnp.zeros((1, 4))
         t_surface = jnp.zeros((1,))
-    return fn(params, scene, jnp.asarray(camera, jnp.float32),
+    cam = jnp.asarray(camera, jnp.float32)
+    cam_end = (jnp.asarray(camera_end, jnp.float32) if shutter else cam)
+    rshut = jnp.asarray(rolling_shutter if shutter else np.zeros(4),
+                        jnp.float32)
+    lp = jnp.asarray(lens_params if lens_params is not None
+                     else np.zeros(7), jnp.float32)
+    dg = (jnp.asarray(distortion_grid, jnp.float32) if has_dist_grid
+          else jnp.zeros((1, 1, 2)))
+    return fn(params, scene, cam, cam_end, rshut, lp, dg,
               jnp.asarray(surface_rgba), jnp.asarray(t_surface),
               sample_index)
 

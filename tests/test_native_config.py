@@ -26,6 +26,7 @@ NATIVE_CFG = NGPConfig(n_levels=8, n_features_per_level=2,
                        per_level_scale=1.61, all_hash=True)
 
 
+@pytest.mark.slow
 def test_native_config_trains_comparably():
     t_ref = _train(TCNN_CFG)
     t_nat = _train(NATIVE_CFG)

@@ -163,10 +163,14 @@ def test_depth_of_field_blurs_off_focus():
     cam[:, 3] = [0, 0, -1.0]       # +0.5 shift puts origin at (.5,.5,-.5)
 
     base = raymarch.MarchOptions(config=cfg, jitter=False, max_rounds=64)
-    sharp, _ = raymarch.render_image_device(params, scene, cam, 32, 32, base)
+    # snap_centers isolates the aperture jitter from the AA sub-pixel
+    # offsets (which also move edge samples)
+    sharp, _ = raymarch.render_image_device(params, scene, cam, 32, 32,
+                                            base, snap_centers=True)
     # focus plane at the sphere front (~0.8 from origin): stays sharp-ish
     dof = dataclasses.replace(base, aperture_size=0.15, focus_z=0.8)
-    blurred, _ = raymarch.render_image_device(params, scene, cam, 32, 32, dof)
+    blurred, _ = raymarch.render_image_device(params, scene, cam, 32, 32,
+                                              dof, snap_centers=True)
     sharp, blurred = np.asarray(sharp), np.asarray(blurred)
     assert np.isfinite(blurred).all()
     # alpha edge between sphere and background softens: count pixels with

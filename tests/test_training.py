@@ -96,6 +96,7 @@ def trained():
     return tr, early
 
 
+@pytest.mark.slow
 def test_loss_decreases(trained):
     tr, early = trained
     assert np.isfinite(tr.loss)
@@ -103,6 +104,7 @@ def test_loss_decreases(trained):
     assert tr.loss < 0.03
 
 
+@pytest.mark.slow
 def test_density_concentrates_on_sphere(trained):
     tr, _ = trained
     tb = tr.to_testbed()
@@ -128,6 +130,7 @@ def test_density_concentrates_on_sphere(trained):
         f"from the sphere (fog/slab reconstruction)")
 
 
+@pytest.mark.slow
 def test_snapshot_roundtrip_and_render(trained, tmp_path):
     tr, _ = trained
     snap = str(tmp_path / "trained.msgpack")
@@ -159,6 +162,7 @@ def test_snapshot_roundtrip_and_render(trained, tmp_path):
     assert corner[..., :3].mean() > 0.9          # white background
 
 
+@pytest.mark.slow
 def test_trained_alpha_matches_gt(trained):
     """Volume alpha along rays through/outside the sphere."""
     tr, _ = trained
@@ -183,6 +187,7 @@ def test_trained_alpha_matches_gt(trained):
 # upstream's per-image AdamOptimizer + TrainableBuffer, testbed.cu:1027-1304)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_extrinsics_optimization_recovers_perturbed_camera():
     """Perturb one camera's stored pose; the per-image extrinsics
     optimizer should move that camera (and mostly leave others alone),
@@ -217,6 +222,7 @@ def test_extrinsics_optimization_recovers_perturbed_camera():
     assert moved[0] > 2.0 * np.median(moved[1:])
 
 
+@pytest.mark.slow
 def test_trainable_envmap_learns_background():
     """Composite the synthetic views over a constant gray background
     (alpha=1 everywhere, like real photos); the trainable envmap must
@@ -259,6 +265,7 @@ def test_distortion_optimizer_smoke():
     assert np.abs(dist).max() < 0.05
 
 
+@pytest.mark.slow
 def test_latent_codes_train_and_roundtrip(tmp_path):
     """Per-image latent codes (n_extra_learnable_dims) separate across
     images with differing appearance, survive the snapshot roundtrip,
