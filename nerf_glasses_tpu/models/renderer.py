@@ -55,6 +55,12 @@ class NerfMeshRenderer:
 
         self._frame_buffer = None   # (H, W, 4) linear premultiplied
         self._depth_buffer = None
+        # depth visualization overlay (the reference's overlay_depth
+        # render-buffer mode, render_buffer.cu:421-535)
+        self.visualize_depth = False
+        self.depth_overlay_alpha = 1.0
+        self.depth_overlay_scale = 1.0
+        self.depth_colormap = "turbo"
         self._frame_count = 0
         self._fps_t0 = time.monotonic()
         self._fps_frames = 0
@@ -230,6 +236,12 @@ class NerfMeshRenderer:
                             nerf.color_space if nerf else "linear",
                             "srgb" if tonemap else "linear",
                             nerf.tonemap_curve if nerf else "identity")
+        if self.visualize_depth and self._depth_buffer is not None:
+            from nerf_glasses_tpu.ops.colormaps import overlay_depth
+            out = overlay_depth(out, jnp.asarray(self._depth_buffer),
+                                self.depth_overlay_alpha,
+                                self.depth_overlay_scale,
+                                self.depth_colormap)
         return np.asarray(out, np.float32)
 
     def _background_from_envmap(self) -> np.ndarray:

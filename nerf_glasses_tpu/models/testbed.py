@@ -34,6 +34,11 @@ class NerfRenderSettings:
 
     def __init__(self, testbed: "Testbed"):
         self._tb = testbed
+        # sharpen / glow_y_cutoff / glow_mode are deliberately inert:
+        # the reference fork plumbs them into its kernels but never uses
+        # them (glow: parameter-only at testbed.cu:789-790, 1956-1957 —
+        # no kernel body reference; sharpen: settable via python_api.cu
+        # but unreferenced in testbed.cu). Kept for script compatibility.
         self.sharpen = 0.0
         self.render_with_lens_distortion = False
         self.render_min_transmittance = C.DEFAULT_MIN_TRANSMITTANCE
@@ -150,6 +155,11 @@ class Testbed:
         self.exposure = 0.0
         self.color_space = "linear"
         self.tonemap_curve = "identity"
+        # camera_smoothing / visualized_dimension / visualized_layer are
+        # deliberately inert, matching the reference fork: it exposes
+        # them (python_api.cu:435-442) and plumbs visualized_dim into the
+        # tracer (testbed.cu:1951, 2026) but the windowless render path
+        # never acts on them; m_camera_smoothing has no non-GUI use.
         self.camera_smoothing = False
         self.snap_to_pixel_centers = False
         self.parallax_shift = np.zeros(3, np.float32)

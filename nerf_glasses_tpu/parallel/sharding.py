@@ -125,7 +125,7 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
             bg = jax.random.uniform(r3, (local_rays, 3))
         else:
             bg = jnp.ones((local_rays, 3))
-        loss, (grads, aux_grads) = trainer_mod._loss_and_grads(
+        (loss, per_ray_err), (grads, aux_grads) = trainer_mod._loss_and_grads(
             state, data, img, px, py, target, samples, bg, local_opts)
         # all-reduce: mean over chips (each chip's loss is a mean over its
         # local rays, so the mean of means is the global mean)
@@ -140,10 +140,21 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
         new_rng = jax.random.split(state["rng"], 2)[0]
         ema = jnp.where(state["step"] == 0, loss,
                         0.99 * state["loss_ema"] + 0.01 * loss)
-        return {**state, "params": new_params, "opt": new_opt,
-                "aux": new_aux, "aux_opt": new_aux_opt,
-                "step": state["step"] + 1, "rng": new_rng,
-                "loss_ema": ema}, loss
+        out = {**state, "params": new_params, "opt": new_opt,
+               "aux": new_aux, "aux_opt": new_aux_opt,
+               "step": state["step"] + 1, "rng": new_rng,
+               "loss_ema": ema}
+        if "error_map" in state:
+            # psum the per-chip error rasters so the replicated map stays
+            # identical on every chip
+            h, w = data["images"].shape[1:3]
+            sum_g, cnt_g = trainer_mod._error_map_accum(
+                state["error_map"], img, px, py, per_ray_err, w, h)
+            sum_g = jax.lax.psum(sum_g, axis)
+            cnt_g = jax.lax.psum(cnt_g, axis)
+            out["error_map"] = trainer_mod._error_map_apply(
+                state["error_map"], sum_g, cnt_g, opts.error_map_beta)
+        return out, loss
 
     fn = jax.shard_map(
         local_step, mesh=mesh,

@@ -104,6 +104,24 @@ class TrainOptions:
     # learning rate for the per-image latent codes (active whenever
     # config.n_extra_learnable_dims > 0)
     extra_dims_lr: float = 1e-3
+    # error-map importance sampling (upstream's per-image error raster +
+    # CDF ray sampling, testbed.cuh:363-372 / SURVEY.md §3.5): rays are
+    # drawn proportional to a per-image error raster after a uniform
+    # warmup. The raster is EMA-updated from per-ray loss each step
+    # (upstream rebuilds a CDF per epoch; the EMA is the streaming
+    # TPU-friendly equivalent).
+    sample_error_map: bool = True
+    error_map_resolution: int = 32
+    error_map_warmup: int = 256
+    error_map_beta: float = 0.1        # cell EMA rate
+    error_map_floor: float = 0.2       # uniform mix-in (x mean weight)
+    # per-image exposure optimization (upstream's optimize_exposure aux
+    # optimizer, alongside the camera offsets): pred_rgb scales by
+    # exp(exposure[img]) before the background composite; exposures are
+    # re-centered to zero mean after each update (upstream normalizes
+    # the mean exposure away the same way).
+    optimize_exposure: bool = False
+    exposure_lr: float = 1e-3
 
     @property
     def cdtype(self):
@@ -135,7 +153,15 @@ def make_train_state(key, opts: TrainOptions, aabb_min, aabb_max,
         assert n_images > 0, "latent codes need the image count"
         aux["extra_dims"] = jnp.zeros(
             (n_images, opts.config.n_extra_learnable_dims))
+    if opts.optimize_exposure:
+        assert n_images > 0, "optimize_exposure needs the image count"
+        aux["exposure"] = jnp.zeros((n_images, 3))
+    extras = {}
+    if opts.sample_error_map and n_images > 0:
+        R = opts.error_map_resolution
+        extras["error_map"] = jnp.ones((n_images, R, R))
     return {
+        **extras,
         "aux": aux,
         "aux_opt": adam_init(aux),
         "params": params,
@@ -181,15 +207,62 @@ def dataset_has_distortion(ds: NerfDataset) -> bool:
 # Ray sampling + marching (differentiable forward)
 # ---------------------------------------------------------------------------
 
-def _sample_pixels(rng, data, n_rays):
-    """-> (img (B,), px (B,), py (B,), target rgba (B,4))."""
+def _sample_pixels(rng, data, n_rays, error_map=None, step=None,
+                   opts: "TrainOptions" = None):
+    """-> (img (B,), px (B,), py (B,), target rgba (B,4)).
+
+    With an error map, pixels are drawn by inverse CDF over the flat
+    (image, cell) error raster (+ a uniform floor) once `step` passes
+    the warmup; before that, and always without a map, sampling is
+    uniform over (image, pixel)."""
     images = data["images"]
     n_img, h, w = images.shape[:3]
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     img = jax.random.randint(k1, (n_rays,), 0, n_img)
     px = jax.random.randint(k2, (n_rays,), 0, w)
     py = jax.random.randint(k3, (n_rays,), 0, h)
+    if error_map is not None:
+        N, Rh, Rw = error_map.shape
+        wts = error_map.reshape(-1)
+        wts = wts + opts.error_map_floor * (jnp.mean(wts) + 1e-12)
+        cdf = jnp.cumsum(wts)
+        r = jax.random.uniform(k4, (n_rays,)) * cdf[-1]
+        idx = jnp.clip(jnp.searchsorted(cdf, r, side="right"),
+                       0, N * Rh * Rw - 1)
+        img_e = idx // (Rh * Rw)
+        rest = idx % (Rh * Rw)
+        cy, cx = rest // Rw, rest % Rw
+        # uniform sub-cell pixel (reuse k2/k3-free bits via k4 splits)
+        ku, kv = jax.random.split(k4)
+        ux = jax.random.uniform(ku, (n_rays,))
+        uy = jax.random.uniform(kv, (n_rays,))
+        px_e = jnp.minimum(((cx + ux) * (w / Rw)).astype(jnp.int32), w - 1)
+        py_e = jnp.minimum(((cy + uy) * (h / Rh)).astype(jnp.int32), h - 1)
+        use_em = step >= opts.error_map_warmup
+        img = jnp.where(use_em, img_e, img)
+        px = jnp.where(use_em, px_e, px)
+        py = jnp.where(use_em, py_e, py)
     return img, px, py, images[img, py, px]
+
+
+def _error_map_accum(error_map, img, px, py, per_ray_err, w, h):
+    """Per-batch (sum, count) rasters of per-ray error at the map's
+    resolution — psum these across chips before _error_map_apply so
+    replicated state stays consistent."""
+    N, Rh, Rw = error_map.shape
+    cx = jnp.clip((px * Rw) // w, 0, Rw - 1)
+    cy = jnp.clip((py * Rh) // h, 0, Rh - 1)
+    zeros = jnp.zeros_like(error_map)
+    sum_g = zeros.at[img, cy, cx].add(per_ray_err)
+    cnt_g = zeros.at[img, cy, cx].add(1.0)
+    return sum_g, cnt_g
+
+
+def _error_map_apply(error_map, sum_g, cnt_g, beta):
+    mean = sum_g / jnp.maximum(cnt_g, 1.0)
+    touched = cnt_g > 0
+    return jnp.where(touched, (1.0 - beta) * error_map + beta * mean,
+                     error_map)
 
 
 def _rotate_small(rv, v):
@@ -345,7 +418,7 @@ def march_training_samples(occ, o, d, rng, opts: TrainOptions,
 
 
 def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
-                 aabb_min, aabb_max, extra=None):
+                 aabb_min, aabb_max, extra=None, exposure_scale=None):
     """Differentiable: network eval + composite -> (B, 3) rgb vs bg.
     Positions are recomputed from (o, d, t) so gradients reach the
     trainable per-image camera offsets when enabled."""
@@ -376,6 +449,10 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
     w = alpha * T                                   # (S, B)
     rgb_ray = jnp.sum(w[..., None] * rgb, axis=0)   # (B, 3)
     acc = jnp.sum(w, axis=0)
+    if exposure_scale is not None:
+        # per-image exposure scales the scene radiance, not the
+        # background composite (upstream's optimize_exposure)
+        rgb_ray = rgb_ray * exposure_scale
     return rgb_ray + (1.0 - acc)[:, None] * bg, acc
 
 
@@ -453,7 +530,8 @@ def adam_update(params, grads, opt, step, opts: TrainOptions):
 def _aux_lr(key: str, opts: TrainOptions) -> float:
     return {"cam_rot": opts.extrinsics_lr, "cam_trans": opts.extrinsics_lr,
             "distortion": opts.distortion_lr, "envmap": opts.envmap_lr,
-            "extra_dims": opts.extra_dims_lr}[key]
+            "extra_dims": opts.extra_dims_lr,
+            "exposure": opts.exposure_lr}[key]
 
 
 def _aux_adam_update(aux, grads, opt, step, opts: TrainOptions):
@@ -471,6 +549,11 @@ def _aux_adam_update(aux, grads, opt, step, opts: TrainOptions):
         v = b2 * opt["v"][key] + (1 - b2) * g * g
         new_aux[key] = aux[key] - _aux_lr(key, opts) * corr * m / (
             jnp.sqrt(v) + opts.eps)
+        if key == "exposure":
+            # fix the exposure/scene-brightness gauge: re-center the
+            # per-image exposures to zero mean per channel
+            new_aux[key] = new_aux[key] - jnp.mean(new_aux[key], axis=0,
+                                                   keepdims=True)
         new_m[key], new_v[key] = m, v
     return new_aux, {"m": new_m, "v": new_v}
 
@@ -478,7 +561,9 @@ def _aux_adam_update(aux, grads, opt, step, opts: TrainOptions):
 def _ray_batch(state, data, r1, r2, n_rays, opts: TrainOptions):
     """Sample pixels, build rays (with current aux offsets applied but
     detached) and march the non-differentiable geometry pass."""
-    img, px, py, target = _sample_pixels(r1, data, n_rays)
+    img, px, py, target = _sample_pixels(
+        r1, data, n_rays,
+        error_map=state.get("error_map"), step=state["step"], opts=opts)
     o0, d0 = _gen_rays(data, img, px, py,
                        jax.lax.stop_gradient(state["aux"]),
                        opts.apply_lens_distortion)
@@ -490,6 +575,8 @@ def _ray_batch(state, data, r1, r2, n_rays, opts: TrainOptions):
 
 def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
                     opts: TrainOptions):
+    """-> ((loss, per_ray_err), (grads, aux_grads)); per_ray_err is the
+    channel-mean squared residual feeding the error map."""
     def loss_of(tv):
         params, aux = tv
         o, d = _gen_rays(data, img, px, py, aux, opts.apply_lens_distortion)
@@ -501,12 +588,17 @@ def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
         bg_t = jax.lax.stop_gradient(bg) if opts.train_envmap else bg
         target_rgb = target[:, :3] + (1.0 - target[:, 3:4]) * bg_t
         extra = aux["extra_dims"][img] if "extra_dims" in aux else None
+        exp_scale = (jnp.exp(aux["exposure"][img])
+                     if "exposure" in aux else None)
         pred, _ = forward_rays(params, samples, o, d, bg, opts,
                                state["aabb_min"], state["aabb_max"],
-                               extra=extra)
-        return _loss_fn(pred, target_rgb, opts)
+                               extra=extra, exposure_scale=exp_scale)
+        diff = pred - target_rgb
+        per_ray_err = jax.lax.stop_gradient(jnp.mean(diff * diff, axis=-1))
+        return _loss_fn(pred, target_rgb, opts), per_ray_err
 
-    return jax.value_and_grad(loss_of)((state["params"], state["aux"]))
+    return jax.value_and_grad(loss_of, has_aux=True)(
+        (state["params"], state["aux"]))
 
 
 @partial(jax.jit, static_argnames=("opts",), donate_argnums=(0,))
@@ -518,7 +610,7 @@ def train_step(state, data, opts: TrainOptions):
         bg = jax.random.uniform(r3, (opts.rays_per_batch, 3))
     else:
         bg = jnp.ones((opts.rays_per_batch, 3))
-    loss, (grads, aux_grads) = _loss_and_grads(
+    (loss, per_ray_err), (grads, aux_grads) = _loss_and_grads(
         state, data, img, px, py, target, samples, bg, opts)
     new_params, new_opt = adam_update(state["params"], grads, state["opt"],
                                       state["step"], opts)
@@ -526,9 +618,16 @@ def train_step(state, data, opts: TrainOptions):
         state["aux"], aux_grads, state["aux_opt"], state["step"], opts)
     ema = jnp.where(state["step"] == 0, loss,
                     0.99 * state["loss_ema"] + 0.01 * loss)
-    return {**state, "params": new_params, "opt": new_opt,
-            "aux": new_aux, "aux_opt": new_aux_opt,
-            "step": state["step"] + 1, "rng": rng, "loss_ema": ema}, loss
+    out = {**state, "params": new_params, "opt": new_opt,
+           "aux": new_aux, "aux_opt": new_aux_opt,
+           "step": state["step"] + 1, "rng": rng, "loss_ema": ema}
+    if "error_map" in state:
+        h, w = data["images"].shape[1:3]
+        sum_g, cnt_g = _error_map_accum(state["error_map"], img, px, py,
+                                        per_ray_err, w, h)
+        out["error_map"] = _error_map_apply(state["error_map"], sum_g,
+                                            cnt_g, opts.error_map_beta)
+    return out, loss
 
 
 @partial(jax.jit, static_argnames=("opts", "rebuild_occ"),
@@ -678,6 +777,11 @@ class Trainer:
             # default inference latents: the first training view's codes
             # (get_inference_extra_dims' default, testbed.cu:1614-1631)
             tb.extra_dims = np.asarray(self.state["aux"]["extra_dims"][0])
+        if "distortion" in self.state["aux"]:
+            # trained distortion raster, applied at render when
+            # render_with_lens_distortion is set (pixel_to_ray's
+            # distortion_grid path, ngp_common.cuh:374-376)
+            tb.distortion_map = np.asarray(self.state["aux"]["distortion"])
         tb._cone_angle = self.opts.config.cone_angle_constant
         tb.update_occupancy()
         return tb

@@ -27,7 +27,7 @@ def make_sphere_density(radius=0.2, value=0.05, center=(0.5, 0.5, 0.5)):
 
 
 def write_test_snapshot(path, cfg=TEST_CFG, density_grid=None, seed=0,
-                        params=None):
+                        params=None, render_aabb=None):
     if density_grid is None:
         density_grid = make_sphere_density()
     if params is None:
@@ -39,11 +39,14 @@ def write_test_snapshot(path, cfg=TEST_CFG, density_grid=None, seed=0,
     ds.metadata = [ImageMetadata(resolution=(800, 800),
                                  focal_length=(1111.0, 1111.0))]
     ds.paths = ["0.png"]
-    ds.render_aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+    half = 0.5 * cfg.aabb_scale
+    aabb = BoundingBox(np.full(3, 0.5 - half), np.full(3, 0.5 + half))
+    if render_aabb is None:
+        render_aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+    ds.render_aabb = render_aabb
     ds.aabb_scale = cfg.aabb_scale
-    aabb = BoundingBox([0, 0, 0], [1, 1, 1])
     snap_io.save_snapshot(str(path), cfg, blob, density_grid, ds, aabb,
-                          aabb, np.eye(3, dtype=np.float32))
+                          render_aabb, np.eye(3, dtype=np.float32))
     return params
 
 

@@ -1,0 +1,103 @@
+"""Error-map importance sampling + per-image exposure optimization
+(upstream's error raster / optimize_exposure aux models, SURVEY.md §3.5,
+testbed.cuh:363-372)."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_glasses_tpu.train import trainer as T
+
+from tests.test_training import TINY_CFG, TINY_OPTS, make_synth_dataset
+
+
+def test_error_map_sampler_concentrates():
+    """A map with all mass in one (image, cell) draws (almost) all rays
+    from that cell once past warmup."""
+    ds = make_synth_dataset(n_images=4)
+    data = T.prepare_dataset_arrays(ds)
+    h, w = data["images"].shape[1:3]
+    opts = dataclasses.replace(TINY_OPTS, error_map_warmup=0,
+                               error_map_floor=0.0)
+    em = jnp.zeros((4, 8, 8)).at[2, 5, 3].set(1.0)
+    img, px, py, _ = T._sample_pixels(
+        jax.random.PRNGKey(0), data, 512, error_map=em,
+        step=jnp.int32(10), opts=opts)
+    img, px, py = np.asarray(img), np.asarray(px), np.asarray(py)
+    assert (img == 2).all()
+    assert ((px * 8) // w == 3).all()
+    assert ((py * 8) // h == 5).all()
+    # pixels spread within the cell, not pinned to one point
+    assert len(np.unique(px)) > 3 and len(np.unique(py)) > 3
+
+    # before warmup: uniform (all images hit)
+    img_u, _, _, _ = T._sample_pixels(
+        jax.random.PRNGKey(0), data, 512, error_map=em,
+        step=jnp.int32(10),
+        opts=dataclasses.replace(opts, error_map_warmup=100))
+    assert len(np.unique(np.asarray(img_u))) == 4
+
+
+def test_error_map_updates_toward_residuals():
+    """train_step EMA-updates the error map where rays actually landed."""
+    ds = make_synth_dataset(n_images=2)
+    opts = dataclasses.replace(TINY_OPTS, error_map_warmup=0)
+    tr = T.Trainer(ds, opts)
+    em0 = np.asarray(tr.state["error_map"]).copy()
+    tr.train(3)
+    em1 = np.asarray(tr.state["error_map"])
+    assert em1.shape == em0.shape
+    assert not np.allclose(em1, em0)    # cells moved toward observed error
+    assert np.isfinite(em1).all() and (em1 >= 0).all()
+
+
+def test_exposure_recovers_injected_brightness():
+    """Images rescaled by per-image factors 2^e_i: the exposure optimizer
+    recovers the relative offsets (zero-mean, matching the re-centering
+    gauge)."""
+    ds = make_synth_dataset(n_images=6)
+    injected = np.array([-0.4, 0.4, 0.0, -0.2, 0.2, 0.0], np.float32)
+    for i in range(6):
+        img = ds.images[i].copy()
+        img[..., :3] *= np.exp(injected[i])
+        ds.images[i] = img
+    opts = dataclasses.replace(TINY_OPTS, optimize_exposure=True,
+                               exposure_lr=1e-2)
+    tr = T.Trainer(ds, opts)
+    tr.occ_warmup_steps = 64
+    tr.train(500)
+    got = np.asarray(tr.state["aux"]["exposure"]).mean(axis=1)
+    want = injected - injected.mean()
+    # positive correlation with the injected pattern, with a meaningful
+    # share of the injected spread absorbed by the exposures. (The
+    # view-dependent SH color head can also explain per-view brightness
+    # — each training image is a distinct viewpoint — so with more steps
+    # the split drifts; we assert the exposure optimizer does the early
+    # heavy lifting, as upstream's does.)
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.6, (corr, got, want)
+    assert got.std() > 0.3 * want.std(), (got, want)
+
+
+@pytest.mark.slow
+def test_error_map_speeds_convergence():
+    """With sampling focused on high-error regions, the same step budget
+    reaches a lower loss EMA than uniform sampling on the synthetic
+    sphere scene (the mechanism behind train_until(0.00175, 10000))."""
+    def run(sample_error_map):
+        ds = make_synth_dataset()
+        opts = dataclasses.replace(TINY_OPTS,
+                                   sample_error_map=sample_error_map,
+                                   error_map_warmup=64)
+        tr = T.Trainer(ds, opts)
+        tr.occ_warmup_steps = 64
+        tr.train(400)
+        return float(tr.state["loss_ema"])
+
+    uniform = run(False)
+    guided = run(True)
+    assert guided < uniform * 1.05, (guided, uniform)

@@ -83,3 +83,31 @@ def test_direction_converters():
     o2, d2 = nerf_ray_to_ngp([1, 0, 0], d, 0.33, [0.5, 0.5, 0.5])
     np.testing.assert_allclose(o2, [0.5, 0.5, 0.83])
     np.testing.assert_allclose(d2, [2, 3, 1])
+
+def test_renderer_visualize_depth_mode():
+    """The hybrid renderer's visualize_depth mode false-colors hit pixels
+    (the reference's overlay_depth render-buffer mode)."""
+    from nerf_glasses_tpu.models.renderer import NerfMeshRenderer
+    from tests.helpers import (TEST_CFG, make_sphere_density, opaque_params,
+                               write_test_snapshot)
+    import tempfile
+    from nerf_glasses_tpu.config import NGPConfig
+    cfg = NGPConfig(n_levels=4, log2_hashmap_size=9, base_resolution=4,
+                    per_level_scale=2.0)
+    path = tempfile.mktemp(suffix=".msgpack")
+    write_test_snapshot(path, cfg=cfg, params=opaque_params(cfg),
+                        density_grid=make_sphere_density(radius=0.25))
+    r = NerfMeshRenderer(48, 36)
+    nerf = r.load_nerf(path)
+    nerf.march_overrides = {"max_rounds": 16}
+    r.orbit(0, 0, 2.0)
+    r.frame()
+    plain = r.display_image()
+    r.visualize_depth = True
+    vis = r.display_image()
+    depth = np.asarray(r._depth_buffer)
+    hit = depth > 0
+    assert hit.any()
+    # overlaid pixels differ from the plain render; misses are untouched
+    assert np.abs(vis[hit] - plain[hit]).max() > 0.05
+    assert np.allclose(vis[~hit], plain[~hit])
