@@ -341,8 +341,40 @@ def load_transforms_json(path: str, load_images: bool = True) -> NerfDataset:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=8) as pool:
             images = list(pool.map(load_training_image, ds.paths))
+        # dataset-level sharpening (load_nerf reads "sharpen" from the
+        # json and forwards it to set_training_image, nerf_loader.cu:459-460)
+        sharpen = float(j.get("sharpen", 0.0))
+        if sharpen > 0.0:
+            images = [sharpen_image(im, sharpen) for im in images]
     ds.images = images
     return ds
+
+
+def sharpen_image(img: np.ndarray, amount: float) -> np.ndarray:
+    """Unsharp-mask a (H, W, 4) training image in place of the reference's
+    sharpen kernel (nerf_loader.cu:101-121, applied at
+    set_training_image when sharpen_amount > 0, :811-833):
+
+        out = max(0, (center_w * p - p_left - p_up - p_right - p_down)
+                     / (center_w - 4)),  center_w = 4 + 1/amount
+
+    Neighbor indexing is flat (bug-compatible): left/up clamp the flat
+    index at 0, right/down wrap modulo the pixel count.
+    """
+    if amount <= 0.0:
+        return img
+    h, w = img.shape[:2]
+    n = h * w
+    flat = img.reshape(n, img.shape[2]).astype(np.float32)
+    idx = np.arange(n, dtype=np.int64)
+    left = np.maximum(idx - 1, 0)
+    up = np.maximum(idx - w, 0)
+    right = np.where(idx + 1 >= n, idx + 1 - n, idx + 1)
+    down = np.where(idx + w >= n, idx + w - n, idx + w)
+    center_w = 4.0 + 1.0 / amount
+    out = (flat * center_w - flat[left] - flat[up] - flat[right]
+           - flat[down]) / (center_w - 4.0)
+    return np.maximum(out, 0.0).reshape(img.shape)
 
 
 def load_training_image(path: str) -> np.ndarray:

@@ -34,11 +34,12 @@ class NerfRenderSettings:
 
     def __init__(self, testbed: "Testbed"):
         self._tb = testbed
-        # sharpen / glow_y_cutoff / glow_mode are deliberately inert:
-        # the reference fork plumbs them into its kernels but never uses
-        # them (glow: parameter-only at testbed.cu:789-790, 1956-1957 —
-        # no kernel body reference; sharpen: settable via python_api.cu
-        # but unreferenced in testbed.cu). Kept for script compatibility.
+        # glow_y_cutoff / glow_mode are deliberately inert: the reference
+        # fork plumbs them into its kernels but never uses them
+        # (parameter-only at testbed.cu:789-790, 1956-1957 — no kernel
+        # body reference). Kept for script compatibility.
+        # sharpen IS functional: set_training_image applies the unsharp
+        # kernel when > 0 (nerf_loader.cu:811-833).
         self.sharpen = 0.0
         self.render_with_lens_distortion = False
         self.render_min_transmittance = C.DEFAULT_MIN_TRANSMITTANCE
@@ -482,6 +483,9 @@ class Testbed:
         img = np.asarray(img, np.float32)
         if img.ndim != 3 or img.shape[2] != 4:
             raise ValueError("image should be (H,W,C) where C=4")
+        if self.nerf.sharpen > 0.0:
+            from nerf_glasses_tpu.io.dataset import sharpen_image
+            img = sharpen_image(img, float(self.nerf.sharpen))
         self.dataset.images[frame_idx] = img
         md = self.dataset.metadata[frame_idx]
         md.resolution = (img.shape[1], img.shape[0])

@@ -98,3 +98,41 @@ def test_spp_accumulation_reduces_jitter_noise(tmp_path):
     b = tb.render(12, 8, spp=2)
     assert a.shape == b.shape == (8, 12, 4)
     assert np.isfinite(b).all()
+
+
+def test_sharpen_image_unsharp_mask():
+    """sharpen_image matches the reference's unsharp kernel
+    (nerf_loader.cu:101-121): amplifies a step edge, preserves flats,
+    uses flat-index neighbor clamping/wrapping."""
+    from nerf_glasses_tpu.io.dataset import sharpen_image
+    img = np.zeros((6, 8, 4), np.float32)
+    img[:, 4:, :3] = 0.5
+    img[..., 3] = 1.0
+    out = sharpen_image(img, 0.5)
+    # flat interior regions unchanged: (center_w*p - 4p)/(center_w-4) = p
+    assert abs(out[3, 1, 0] - 0.0) < 1e-6
+    assert abs(out[3, 6, 0] - 0.5) < 1e-6
+    # edge pixels overshoot on the bright side, clamp at 0 on the dark
+    assert out[3, 4, 0] > 0.5 + 1e-3
+    assert out[3, 3, 0] == 0.0
+    # amount=0 is the identity
+    np.testing.assert_array_equal(sharpen_image(img, 0.0), img)
+    # exact kernel check at an interior pixel: (cw*p - l - u - r - d)/(cw-4)
+    cw = 4.0 + 1.0 / 0.5
+    p, l, u, r, d = (img[3, 4, 0], img[3, 3, 0], img[2, 4, 0],
+                     img[3, 5, 0], img[4, 4, 0])
+    assert abs(out[3, 4, 0] - max(0.0, (cw * p - l - u - r - d) / (cw - 4))) \
+        < 1e-6
+
+
+def test_testbed_sharpen_applied_on_set_training_image():
+    from nerf_glasses_tpu.models.testbed import Testbed
+    tb = Testbed()
+    tb.create_empty_nerf_dataset(n_images=1)
+    img = np.zeros((4, 4, 4), np.float32)
+    img[:, 2:, :3] = 1.0
+    img[..., 3] = 1.0
+    tb.nerf.sharpen = 0.4
+    tb.set_training_image(0, img)
+    stored = tb.dataset.images[0]
+    assert stored[1, 2, 0] > 1.0  # sharpened overshoot

@@ -61,6 +61,3 @@ def test_native_fast_factory():
     assert cfg.n_pos_features == 32          # same MLP input width
     lp = cfg.level_params()
     assert all(size == 1 << 15 for _, size, _ in lp)
-    from nerf_glasses_tpu.ops.hashgrid_pallas import supports_config
-    # VMEM budget check for the Pallas path (F=4 not yet supported there)
-    assert not supports_config(cfg) or cfg.n_features_per_level == 2
