@@ -610,7 +610,10 @@ def _finalize(st):
     rgba = st["rgba"]
     keep = rgba[:, 3] > 0.001   # compact_kernel_nerf's w>0.001 filter
     rgba = jnp.where(keep[:, None], rgba, 0.0)
-    depth = jnp.where(st["max_weight"] > 0.0, st["depth"], 0.0)
+    # depth written only when the splat alpha exceeds 0.2, else the
+    # buffer keeps its cleared value 0 (shade_kernel_nerf,
+    # testbed.cu:927-929; clear_frame memsets depth to 0)
+    depth = jnp.where(rgba[:, 3] > 0.2, st["depth"], 0.0)
     return {"rgba": rgba, "depth": depth}
 
 
