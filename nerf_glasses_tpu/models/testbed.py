@@ -179,6 +179,10 @@ class Testbed:
         self._training_view = _TrainingView(self)
 
         # external mesh-surface buffers (set by NerfMeshRenderer)
+        # deferred shading for the baked fast path (one network eval per
+        # ray at its max-weight sample; raymarch.MarchOptions.deferred_color)
+        self.deferred_shading = False
+
         self._surface_rgba = None
         self._surface_t = None
         self._surface_res = None
@@ -329,6 +333,8 @@ class Testbed:
                   min_transmittance=self.nerf.render_min_transmittance)
         if getattr(self, "_baked_sigma", None) is not None:
             kw["use_baked_sigma"] = True
+            if getattr(self, "deferred_shading", False):
+                kw["deferred_color"] = True
         if getattr(self, "aperture_size", 0.0) > 0.0:
             # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
             kw["aperture_size"] = float(self.aperture_size)
@@ -367,9 +373,11 @@ class Testbed:
         visible samples. Requires a single-cascade scene."""
         if self.config.max_cascade != 0:
             raise ValueError("baking currently supports aabb_scale == 1")
-        from nerf_glasses_tpu.ops.bake import bake_density_grid
-        self._baked_sigma = bake_density_grid(self.params, self.config,
-                                              resolution)
+        from nerf_glasses_tpu.ops.bake import (bake_density_grid,
+                                               pack_sigma_bricks)
+        grid = bake_density_grid(self.params, self.config, resolution)
+        # brick-packed layout: one 512B-row gather per trilinear sample
+        self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
         self.reset_accumulation()
 
     def unbake(self):

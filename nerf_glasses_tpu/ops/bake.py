@@ -47,6 +47,78 @@ def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
     return jnp.concatenate(out).reshape(R, R, R)
 
 
+def pack_sigma_bricks(sigma_grid: np.ndarray) -> jnp.ndarray:
+    """(R, R, R) [z, y, x] dense grid -> (B^3, 128) brick table, B = R/4.
+
+    Brick (bz, by, bx) stores the 5x5x5 sample block
+    grid[4bz+dz, 4by+dy, 4bx+dx], dz/dy/dx in [0, 5) (blocks overlap by
+    one sample plane; the edge is replicated). Any trilinear lookup's 8
+    corners live inside ONE brick: base voxel i0 (clipped to R-2) has
+    local = i0 & 3 <= 3, so corners local..local+1 <= 4.
+
+    125 floats pad to 128 lanes = one 512-byte row, which rides XLA's
+    full-vreg gather fast path on TPU (~3.8x the narrow-row rate
+    measured on v5e) — one gather per sample instead of eight.
+    """
+    g = np.asarray(sigma_grid, np.float32)
+    R = g.shape[0]
+    assert R % 4 == 0 and g.shape == (R, R, R)
+    B = R // 4
+    gp = np.pad(g, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    out = np.empty((B, B, B, 5, 5, 5), np.float32)
+    for dz in range(5):
+        for dy in range(5):
+            for dx in range(5):
+                out[..., dz, dy, dx] = gp[dz:dz + 4 * B:4,
+                                          dy:dy + 4 * B:4,
+                                          dx:dx + 4 * B:4]
+    flat = out.reshape(B * B * B, 125)
+    return jnp.asarray(np.concatenate(
+        [flat, np.zeros((flat.shape[0], 3), np.float32)], axis=1))
+
+
+def sample_sigma_bricks_soa(bricks: jnp.ndarray, px, py, pz) -> jnp.ndarray:
+    """Trilinear lookup from a pack_sigma_bricks table with component
+    arrays px/py/pz (...,) in [0,1] -> sigma (...).
+
+    One wide-row gather per sample; the 8 corners are then combined with
+    an outer-product weight mask over the 125 in-brick lanes (pure VPU
+    work, no second gather)."""
+    B = round(bricks.shape[0] ** (1.0 / 3.0))
+    R = 4 * B
+    shp = px.shape
+
+    def prep(p):
+        q = jnp.clip(p.reshape(-1), 0.0, 1.0) * R - 0.5
+        i0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, R - 2)
+        return i0, jnp.clip(q - i0, 0.0, 1.0)
+
+    ix, fx = prep(px)
+    iy, fy = prep(py)
+    iz, fz = prep(pz)
+    row = ((iz >> 2) * B + (iy >> 2)) * B + (ix >> 2)
+    rows = jnp.take(bricks, row, axis=0)               # (N, 128)
+
+    j = jnp.arange(5, dtype=jnp.int32)[None]
+
+    def axis_w(i0, f):
+        l = (i0 & 3)[:, None]
+        fa = f[:, None]
+        return jnp.where(j == l, 1.0 - fa, jnp.where(j == l + 1, fa, 0.0))
+
+    wx, wy, wz = axis_w(ix, fx), axis_w(iy, fy), axis_w(iz, fz)
+    w = (wz[:, :, None, None] * wy[:, None, :, None]
+         * wx[:, None, None, :]).reshape(-1, 125)
+    return jnp.sum(rows[:, :125] * w, axis=1).reshape(shp)
+
+
+def sample_sigma_bricks(bricks: jnp.ndarray, pos01: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """AoS wrapper: pos01 (..., 3) in [0,1] -> sigma (...)."""
+    return sample_sigma_bricks_soa(bricks, pos01[..., 0], pos01[..., 1],
+                                   pos01[..., 2])
+
+
 def sample_baked_sigma(sigma_grid: jnp.ndarray, pos01: jnp.ndarray
                        ) -> jnp.ndarray:
     """Trilinear lookup: pos01 (..., 3) in [0,1] -> sigma (...)."""

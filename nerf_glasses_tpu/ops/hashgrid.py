@@ -89,60 +89,82 @@ def corner_indices_and_weights(pos, scale: float, resolution: int,
     return idx.astype(jnp.int32), weights
 
 
-def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """table: (L, S, F) uniform-padded; pos: (N, 3) in [0,1]
+def hash_encode_soa(table: jnp.ndarray, px, py, pz, config: NGPConfig,
+                    compute_dtype=jnp.float32) -> jnp.ndarray:
+    """table: (L, S, W) uniform-padded; px/py/pz: (N,) components in [0,1]
     -> (N, L*F) features (level-major).
+
+    TPU layout note: positions stay as separate (N,) component arrays —
+    an (N, 3) array pads its last dim to 128 lanes on TPU, so every
+    elementwise op on it moves 42x the useful bytes. The 8 corners are
+    unrolled (8 gathers of (N,) indices per level); weighting happens on
+    the (N, W) gather output, which is fully lane-packed for wide rows.
 
     Per-level constants stay Python values so XLA strength-reduces the
     `% hashmap_size` (a traced divisor compiles to real integer division
     — 10x slower). Levels are chained through optimization_barrier so XLA
-    schedules them sequentially (otherwise all 16 levels' (N,8) corner
-    temporaries go live at once and large batches OOM)."""
+    schedules them sequentially (otherwise all levels' gather temporaries
+    go live at once and large batches OOM)."""
     L = config.n_levels
     F = config.n_features_per_level
     scales, res, sizes, dense = level_constants(config)
 
-    S = table.shape[1]
-    # Table folding to wider gather rows measured *slower* end-to-end on
-    # v5e (the select chain outweighs the row-width win): keep fold=1.
-    # The fold>1 path is retained for hardware where row gathers amortize.
-    fold = 1
-
     feats = []
     for lvl in range(L):
-        idx, w = corner_indices_and_weights(
-            pos, float(scales[lvl]), int(res[lvl]), int(sizes[lvl]),
-            bool(dense[lvl]))
+        scale = float(scales[lvl])
+        resolution = int(res[lvl])
+        hashmap_size = int(sizes[lvl])
+        fx0 = px * jnp.float32(scale) + 0.5
+        fy0 = py * jnp.float32(scale) + 0.5
+        fz0 = pz * jnp.float32(scale) + 0.5
+        gx = jnp.floor(fx0)
+        gy = jnp.floor(fy0)
+        gz = jnp.floor(fz0)
+        wx1 = (fx0 - gx).astype(compute_dtype)
+        wy1 = (fy0 - gy).astype(compute_dtype)
+        wz1 = (fz0 - gz).astype(compute_dtype)
+        wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+        ix = gx.astype(jnp.uint32)
+        iy = gy.astype(jnp.uint32)
+        iz = gz.astype(jnp.uint32)
+
         tab_l = table[lvl]
-        if config.wide_rows:
-            # 512B rows ride XLA's full-vreg gather fast path (~3.8x the
-            # narrow-row rate on v5e, see NGPConfig.wide_rows); slice the
-            # F live features after the gather (the barrier keeps XLA
-            # from narrowing the gather to the sliced width)
-            # (measured: XLA keeps the wide gather even with the slice
-            # fused right after it; an optimization_barrier here would
-            # force the full (N*8,128) rows to materialize in HBM and
-            # cost more than the fast path saves)
-            n = idx.shape[0]
-            rows = jnp.take(tab_l, idx.reshape(-1), axis=0)  # (N*8, 128)
-            vals = rows[:, :F].reshape(n, 8, F)
-        elif fold > 1:
-            tab4 = tab_l.reshape(S // fold, fold * F)
-            rows = jnp.take(tab4, idx >> 2, axis=0)      # (N, 8, fold*F)
-            sub = idx & (fold - 1)
-            vals = 0.0
-            for k in range(fold):
-                vals = vals + jnp.where(
-                    (sub == k)[..., None], rows[..., k * F:(k + 1) * F], 0.0)
-        else:
-            vals = jnp.take(tab_l, idx, axis=0)          # (N, 8, F)
-        f = jnp.sum(vals.astype(compute_dtype)
-                    * w[..., None].astype(compute_dtype), axis=1)
-        feats.append(f)
+        acc = None
+        for c in range(8):
+            cx = ix + jnp.uint32(c & 1)
+            cy = iy + jnp.uint32((c >> 1) & 1)
+            cz = iz + jnp.uint32((c >> 2) & 1)
+            if bool(dense[lvl]):
+                idx = (cx + cy * jnp.uint32(resolution)
+                       + cz * jnp.uint32(resolution * resolution
+                                         & 0xFFFFFFFF))
+            else:
+                idx = (cx * jnp.uint32(C.HASH_PRIMES[0])
+                       ^ cy * jnp.uint32(C.HASH_PRIMES[1])
+                       ^ cz * jnp.uint32(C.HASH_PRIMES[2]))
+            if hashmap_size & (hashmap_size - 1) == 0:
+                idx = idx & jnp.uint32(hashmap_size - 1)
+            else:
+                idx = idx % jnp.uint32(hashmap_size)
+            w = ((wx1 if (c & 1) else wx0)
+                 * (wy1 if (c >> 1) & 1 else wy0)
+                 * (wz1 if (c >> 2) & 1 else wz0))
+            rows = jnp.take(tab_l, idx.astype(jnp.int32), axis=0)  # (N, W)
+            term = rows.astype(compute_dtype) * w[:, None]
+            acc = term if acc is None else acc + term
+        feats.append(acc[:, :F])
         if lvl + 1 < L:
-            pos, = jax.lax.optimization_barrier((pos + 0.0 * f[0, 0],))
+            px, = jax.lax.optimization_barrier((px + 0.0 * acc[0, 0],))
     return jnp.concatenate(feats, axis=-1)
+
+
+def hash_encode(table: jnp.ndarray, pos: jnp.ndarray, config: NGPConfig,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
+    """table: (L, S, F) uniform-padded; pos: (N, 3) in [0,1]
+    -> (N, L*F) features (level-major). AoS boundary wrapper around
+    hash_encode_soa."""
+    return hash_encode_soa(table, pos[..., 0], pos[..., 1], pos[..., 2],
+                           config, compute_dtype)
 
 
 WIDE_ROW = 128   # one fp32 vreg row (512B) — see NGPConfig.wide_rows

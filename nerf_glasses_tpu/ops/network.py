@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_glasses_tpu.config import NGPConfig
-from nerf_glasses_tpu.ops.hashgrid import hash_encode, hash_table_init
+from nerf_glasses_tpu.ops.hashgrid import (hash_encode, hash_encode_soa,
+                                           hash_table_init)
 from nerf_glasses_tpu.ops.mlp import mlp_apply, mlp_init
-from nerf_glasses_tpu.ops.sh import sh_encode
+from nerf_glasses_tpu.ops.sh import sh_encode, sh_encode_soa
 
 Params = Dict[str, object]
 
@@ -40,14 +41,48 @@ def init_params(key, config: NGPConfig, dtype=jnp.float32) -> Params:
     }
 
 
+def density_raw_soa(params: Params, px, py, pz, config: NGPConfig,
+                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """px/py/pz (N,) components in [0,1] -> density MLP output (N, 16)."""
+    enc = hash_encode_soa(params["grid"], px, py, pz, config,
+                          compute_dtype=jnp.float32)
+    return mlp_apply(enc, params["density_mlp"], compute_dtype=compute_dtype)
+
+
 def density_raw(params: Params, pos01: jnp.ndarray, config: NGPConfig,
                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """pos01 (N,3) in [0,1] -> density MLP output (N, 16); sigma = [:, 0].
 
     Matches NerfNetwork::density (nerf_network.cuh:266-282).
     """
-    enc = hash_encode(params["grid"], pos01, config, compute_dtype=jnp.float32)
-    return mlp_apply(enc, params["density_mlp"], compute_dtype=compute_dtype)
+    return density_raw_soa(params, pos01[..., 0], pos01[..., 1],
+                           pos01[..., 2], config, compute_dtype)
+
+
+def apply_network_soa(params: Params, px, py, pz, dx, dy, dz,
+                      config: NGPConfig, compute_dtype=jnp.bfloat16,
+                      extra: jnp.ndarray = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Component-array variant of apply_network (SoA TPU hot path):
+    px/py/pz (N,) in [0,1], dx/dy/dz (N,) warped directions in [0,1]
+    -> (rgb_raw (N,3), sigma_raw (N,))."""
+    d_out = density_raw_soa(params, px, py, pz, config, compute_dtype)
+    sh = sh_encode_soa(dx, dy, dz, config.sh_degree, config.sh_out_padded)
+    parts = [d_out.astype(compute_dtype), sh.astype(compute_dtype)]
+    E = config.n_extra_learnable_dims
+    n = px.shape[0]
+    if E:
+        if extra is None:
+            extra = jnp.zeros((n, E))
+        extra = jnp.broadcast_to(jnp.atleast_2d(extra), (n, E))
+        parts.append(extra.astype(compute_dtype))
+    width = sum(p.shape[-1] for p in parts)
+    if width < config.rgb_in_width:
+        parts.append(jnp.zeros((n, config.rgb_in_width - width),
+                               compute_dtype))
+    rgb_in = jnp.concatenate(parts, axis=-1)
+    rgb_out = mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
+    return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
 
 
 def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
@@ -61,23 +96,10 @@ def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
     (upstream's extra-dims path, testbed.cu:1614-1631); zeros when
     omitted.
     """
-    d_out = density_raw(params, pos01, config, compute_dtype)
-    sh = sh_encode(dir01, config.sh_degree, config.sh_out_padded)
-    parts = [d_out.astype(compute_dtype), sh.astype(compute_dtype)]
-    E = config.n_extra_learnable_dims
-    if E:
-        n = pos01.shape[0]
-        if extra is None:
-            extra = jnp.zeros((n, E))
-        extra = jnp.broadcast_to(jnp.atleast_2d(extra), (n, E))
-        parts.append(extra.astype(compute_dtype))
-    width = sum(p.shape[-1] for p in parts)
-    if width < config.rgb_in_width:
-        parts.append(jnp.zeros((pos01.shape[0],
-                                config.rgb_in_width - width), compute_dtype))
-    rgb_in = jnp.concatenate(parts, axis=-1)
-    rgb_out = mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
-    return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
+    return apply_network_soa(
+        params, pos01[..., 0], pos01[..., 1], pos01[..., 2],
+        dir01[..., 0], dir01[..., 1], dir01[..., 2], config,
+        compute_dtype, extra)
 
 
 # ---------------------------------------------------------------------------

@@ -73,8 +73,20 @@ def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
     return jnp.clip(exponent + 1, 0, max_cascade).astype(jnp.int32)
 
 
+def mip_from_pos_soa(px, py, pz, max_cascade: int) -> jnp.ndarray:
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)),
+                         jnp.abs(pz - 0.5))
+    _, exponent = jnp.frexp(maxval)
+    return jnp.clip(exponent + 1, 0, max_cascade).astype(jnp.int32)
+
+
 def mip_from_dt(dt: jnp.ndarray, pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
-    mip = mip_from_pos(pos, max_cascade)
+    return mip_from_dt_soa(dt, pos[..., 0], pos[..., 1], pos[..., 2],
+                           max_cascade)
+
+
+def mip_from_dt_soa(dt, px, py, pz, max_cascade: int) -> jnp.ndarray:
+    mip = mip_from_pos_soa(px, py, pz, max_cascade)
     dt = dt * (2 * GRID)
     _, exponent = jnp.frexp(dt)
     mip_dt = jnp.where(dt < 1.0, mip, jnp.minimum(jnp.maximum(exponent, mip), max_cascade))
@@ -83,11 +95,21 @@ def mip_from_dt(dt: jnp.ndarray, pos: jnp.ndarray, max_cascade: int) -> jnp.ndar
 
 def occupied_at(occ: jnp.ndarray, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
     """occ: (8, G, G, G) uint8; pos (..., 3); mip (...,) int32 -> bool."""
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
-    p = (pos - 0.5) * mip_scale + 0.5
-    # C-style cast (truncation toward zero), then clamp — testbed.cu:240-249
-    i = jnp.clip(jnp.trunc(p * GRID).astype(jnp.int32), 0, GRID - 1)
-    flat = ((mip * GRID + i[..., 2]) * GRID + i[..., 1]) * GRID + i[..., 0]
+    return occupied_at_soa(occ, pos[..., 0], pos[..., 1], pos[..., 2], mip)
+
+
+def occupied_at_soa(occ: jnp.ndarray, px, py, pz, mip) -> jnp.ndarray:
+    """Component-array variant: px/py/pz (...,), mip (...,) -> bool.
+    All math stays on lane-packed component arrays (an (N,3) array pads
+    its last dim to 128 lanes on TPU)."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+
+    def cell(p):
+        # C-style cast (truncate toward zero), clamp — testbed.cu:240-249
+        q = (p - 0.5) * mip_scale + 0.5
+        return jnp.clip(jnp.trunc(q * GRID).astype(jnp.int32), 0, GRID - 1)
+
+    flat = (((mip * GRID + cell(pz)) * GRID + cell(py)) * GRID + cell(px))
     return jnp.take(occ.reshape(-1), flat, mode="clip").astype(bool)
 
 
@@ -108,6 +130,36 @@ def distance_to_next_voxel(pos, dir, idir, res):
     tt = (jnp.floor(p + 0.5 + 0.5 * sign) - p) * idir
     t = jnp.min(tt, axis=-1)
     return jnp.maximum(t / res, 0.0)
+
+
+def distance_to_next_voxel_soa(p3, d3, id3, res):
+    """Component-array DDA distance: p3/d3/id3 are (px,py,pz)-style
+    3-tuples of (...,) arrays; res (...,) float."""
+    t = None
+    for p, d, idc in zip(p3, d3, id3):
+        pr = res * p
+        sign = jnp.sign(d) + (d == 0.0)
+        tc = (jnp.floor(pr + 0.5 + 0.5 * sign) - pr) * idc
+        t = tc if t is None else jnp.minimum(t, tc)
+    return jnp.maximum(t / res, 0.0)
+
+
+def advance_to_next_voxel_soa(t, cone_angle: float, p3, d3, id3, res):
+    """SoA advance: step t past the current (empty) voxel (see
+    advance_to_next_voxel)."""
+    t_target = t + distance_to_next_voxel_soa(p3, d3, id3, res)
+    if cone_angle == 0.0:
+        dt = C.MIN_CONE_STEPSIZE
+        n = jnp.maximum(jnp.ceil((t_target - t) / dt), 1.0)
+        return t + n * dt
+
+    def body(_, tcur):
+        dt = calc_dt(tcur, cone_angle)
+        return jnp.where(tcur < t_target, tcur + dt, tcur)
+
+    t1 = jax.lax.fori_loop(0, 8, body, t)
+    t1 = jnp.maximum(t1, t + calc_dt(t, cone_angle))
+    return t1
 
 
 def advance_to_next_voxel(t, cone_angle: float, pos, dir, idir, res):
@@ -197,6 +249,13 @@ def build_skip_grid(occ: jnp.ndarray, max_level: int = 4) -> jnp.ndarray:
 def skip_level_at(skip: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Gather jump levels at cascade-0 positions (..., 3) -> (...,) uint8
     (same trunc-toward-zero indexing as occupied_at)."""
-    i = jnp.clip(jnp.trunc(pos * GRID).astype(jnp.int32), 0, GRID - 1)
-    flat = (i[..., 2] * GRID + i[..., 1]) * GRID + i[..., 0]
+    return skip_level_at_soa(skip, pos[..., 0], pos[..., 1], pos[..., 2])
+
+
+def skip_level_at_soa(skip: jnp.ndarray, px, py, pz) -> jnp.ndarray:
+    """Component-array variant of skip_level_at."""
+    def cell(p):
+        return jnp.clip(jnp.trunc(p * GRID).astype(jnp.int32), 0, GRID - 1)
+
+    flat = (cell(pz) * GRID + cell(py)) * GRID + cell(px)
     return jnp.take(skip.reshape(-1), flat, mode="clip")

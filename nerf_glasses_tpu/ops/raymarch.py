@@ -51,11 +51,14 @@ import numpy as np
 from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
-from nerf_glasses_tpu.ops.bake import sample_baked_sigma
+from nerf_glasses_tpu.ops.bake import (sample_sigma_bricks,
+                                       sample_sigma_bricks_soa)
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
-                                          apply_network,
+                                          apply_network, apply_network_soa,
                                           apply_rgb_activation)
-from nerf_glasses_tpu.utils.bbox import contains_aabb, ray_intersect_aabb
+from nerf_glasses_tpu.utils.bbox import (contains_aabb, contains_aabb_soa,
+                                         ray_intersect_aabb,
+                                         ray_intersect_aabb_soa)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +89,13 @@ class MarchOptions:
     use_baked_sigma: bool = False
     sig_threshold: float = 1e-3
     color_subchunk: int = 1 << 12
+    # Deferred shading (SNeRG-style): the march composites weights from
+    # the baked sigma alone (ZERO network evals in the march loop); one
+    # network eval per surviving ray at its max-weight sample happens in
+    # a compacted pass at the end, scaled by the ray's accumulated NeRF
+    # weight. Exact for a surface whose color is locally constant over
+    # the crossing; the bench PSNR gate bounds the real deviation.
+    deferred_color: bool = False
     # Vectorized rounds: with cone_angle == 0 the step size is constant,
     # so a round's K sample positions are t + i*dt — computable in one
     # vectorized shot (single batched occupancy probe, cumprod
@@ -142,21 +152,19 @@ def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32) * (1.0 / 4294967296.0)
 
 
-def _radical_inverse(base: int, i) -> jnp.ndarray:
-    """Halton radical inverse of a traced non-negative integer -> [0,1).
+def _radical_inverse(base: int, i: int) -> float:
+    """Halton radical inverse of a non-negative integer -> [0,1).
     Drives the per-sample sub-pixel offset (the TPU stand-in for
     random_val.cuh's ld_random_pixel_offset, which the reference feeds a
-    scrambled Sobol sequence)."""
-    i = jnp.asarray(i, jnp.int32)
-
-    def body(_, carry):
-        i, f, out = carry
-        out = out + f * (i % base).astype(jnp.float32)
-        return i // base, f / base, out
-
-    # 20 digits cover indices < base^20 for base >= 2
-    _, _, out = jax.lax.fori_loop(
-        0, 20, body, (i, jnp.float32(1.0 / base), jnp.float32(0.0)))
+    scrambled Sobol sequence). Computed on the HOST per frame — as a
+    traced fori_loop it cost ~60 serialized scalar device ops."""
+    i = int(i)
+    f = 1.0 / base
+    out = 0.0
+    while i > 0:
+        out += f * (i % base)
+        i //= base
+        f /= base
     return out
 
 
@@ -232,12 +240,32 @@ def _read_image2(grid, uv):
             + w[..., :1] * w[..., 1:] * at(1, 1))
 
 
-def _contains_local(pos, scene):
-    local_pos = pos @ scene["local"].T
-    return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
+# ---------------------------------------------------------------------------
+# SoA (component-array) helpers. TPU layout rule driving this file: an
+# (N, 3) or (N, 4) array pads its last dim to 128 lanes, so every
+# elementwise op on it moves ~42x the useful bytes. All per-ray vector
+# state is therefore kept as separate (N,) component arrays ("p3"/"d3"
+# = (x, y, z) tuples); (H, W)-shaped and (K, N)-shaped arrays are fully
+# lane-packed and fine.
+# ---------------------------------------------------------------------------
+
+def _split3(a):
+    return a[..., 0], a[..., 1], a[..., 2]
 
 
-def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
+def _at(o3, d3, t):
+    """Ray point components at parameter t."""
+    return tuple(o + d * t for o, d in zip(o3, d3))
+
+
+def _contains_local_soa(p3, scene):
+    M = scene["local"]
+    lp = tuple(M[i, 0] * p3[0] + M[i, 1] * p3[1] + M[i, 2] * p3[2]
+               for i in range(3))
+    return contains_aabb_soa(lp, scene["render_min"], scene["render_max"])
+
+
+def _skip_probe_soa(scene, p3, t, d3, id3, dt, opts: MarchOptions):
     """One-gather DDA probe -> (occupied, t_advanced).
 
     On single-cascade scenes the jump grid gives both the occupancy bit
@@ -246,45 +274,49 @@ def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
     16 voxels) instead of one fine voxel. Multi-cascade scenes fall back
     to the per-mip probe."""
     if opts.config.max_cascade == 0 and opts.min_mip == 0 and "skip" in scene:
-        lv = occ_ops.skip_level_at(scene["skip"], pos)
+        lv = occ_ops.skip_level_at_soa(scene["skip"], *p3)
         occ = lv == 255
         res = (C.NERF_GRIDSIZE >> jnp.minimum(lv, 4).astype(jnp.int32)
                ).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
-                                            idir, res)
+        adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3,
+                                                id3, res)
         return occ, adv
-    occ, mip = _occupied(scene, pos, dt, opts)
+    occ, mip = _occupied_soa(scene, p3, dt, opts)
     res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-    adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d, idir, res)
+    adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3, id3,
+                                            res)
     return occ, adv
 
 
-def _occupied(scene, pos, dt, opts: MarchOptions):
+def _occupied_soa(scene, p3, dt, opts: MarchOptions):
     if opts.config.max_cascade == 0 and opts.min_mip == 0:
         # unit-cube scene (the reference default): single cascade, no
         # mip math needed
-        mip = jnp.zeros(pos.shape[:-1], jnp.int32)
+        mip = jnp.zeros(p3[0].shape, jnp.int32)
     else:
-        mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
+        mip = occ_ops.mip_from_dt_soa(dt, *p3,
+                                      max_cascade=opts.config.max_cascade)
         mip = jnp.maximum(mip, opts.min_mip)
-    return occ_ops.occupied_at(scene["occ"], pos, mip), mip
+    return occ_ops.occupied_at_soa(scene["occ"], *p3, mip=mip), mip
 
 
 # ---------------------------------------------------------------------------
 # Ray init (init_rays_with_payload + advance_pos_nerf)
 # ---------------------------------------------------------------------------
 
-def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
+def init_rays(scene, o3, d3, t_surface, surface_a, opts: MarchOptions,
               sample_index=0, ray_idx: Optional[jnp.ndarray] = None):
-    """o, d: (N,3) origin (already in NGP space, +0.5 shifted) and unit dir.
+    """o3, d3: (x, y, z) tuples of (N,) origin components (already in NGP
+    space, +0.5 shifted) and unit dir components.
 
     Returns (t, t_start, alive).
     """
-    n = o.shape[0]
-    tmin, _ = ray_intersect_aabb(o, d, scene["render_min"], scene["render_max"])
+    n = o3[0].shape[0]
+    tmin, _ = ray_intersect_aabb_soa(o3, d3, scene["render_min"],
+                                     scene["render_max"])
     t = jnp.maximum(tmin, 0.0) + 1e-6
-    alive = contains_aabb(o + d * t[:, None], scene["render_min"],
-                          scene["render_max"])
+    alive = contains_aabb_soa(_at(o3, d3, t), scene["render_min"],
+                              scene["render_max"])
 
     # surface revive (advance_pos_nerf, testbed.cu:487-493)
     has_surface = t_surface > 0.0
@@ -299,16 +331,16 @@ def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
         jit01 = _hash_u32(ray_idx * jnp.uint32(786433) + seed)
         t = t + jit01 * occ_ops.calc_dt(t, opts.cone_angle)
 
-    idir = 1.0 / d
+    id3 = tuple(1.0 / d for d in d3)
 
     # empty-space skip to the first occupied voxel (bounded DDA)
     def body(_, carry):
         t, alive, settled = carry
-        pos = o + d * t[:, None]
+        p3 = _at(o3, d3, t)
         at_surface = has_surface & (t > t_surface)
-        inside = _contains_local(pos, scene)
+        inside = _contains_local_soa(p3, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
+        occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
 
         newly_surface = ~settled & alive & at_surface
         newly_exit = ~settled & alive & ~at_surface & ~inside
@@ -324,27 +356,43 @@ def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
     t, alive, _ = jax.lax.fori_loop(0, opts.init_skip_iters, body,
                                     (t, alive, settled0))
 
-    pos_t = o + d * t[:, None]
-    in_mip0 = occ_ops.mip_from_pos(pos_t, opts.config.max_cascade) == 0
+    p3 = _at(o3, d3, t)
+    in_mip0 = occ_ops.mip_from_pos_soa(*p3,
+                                       max_cascade=opts.config.max_cascade) == 0
     t_start = jnp.where(in_mip0, t, 0.0)
     return t, t_start, alive
 
 
 def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
-    t0, t_start, alive0 = init_rays(scene, o, d, t_surface,
-                                    surface_rgba[:, 3], opts, sample_index)
-    n = o.shape[0]
+    """o, d: (N,3); surface_rgba: (N,4). Builds the flat SoA state dict."""
+    ox, oy, oz = _split3(o)
+    dx, dy, dz = _split3(d)
+    sr, sg, sb, sa = (surface_rgba[:, 0], surface_rgba[:, 1],
+                      surface_rgba[:, 2], surface_rgba[:, 3])
+    return _make_state_soa(scene, (ox, oy, oz), (dx, dy, dz),
+                           (sr, sg, sb, sa), t_surface, opts, sample_index)
+
+
+def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index):
+    t0, t_start, alive0 = init_rays(scene, o3, d3, t_surface, surf4[3],
+                                    opts, sample_index)
+    n = o3[0].shape[0]
+    z = jnp.zeros((n,), jnp.float32)
     return {
         # per-ray constants (ride along so compaction can gather them)
-        "o": o, "d": d, "surf": surface_rgba, "t_surf": t_surface,
-        "t_start": t_start,
+        "ox": o3[0], "oy": o3[1], "oz": o3[2],
+        "dx": d3[0], "dy": d3[1], "dz": d3[2],
+        "sr": surf4[0], "sg": surf4[1], "sb": surf4[2], "sa": surf4[3],
+        "t_surf": t_surface, "t_start": t_start,
         # mutable march state
         "t": t0,
-        "rgba": jnp.zeros((n, 4), jnp.float32),
-        "depth": jnp.zeros((n,), jnp.float32),
-        "max_weight": jnp.zeros((n,), jnp.float32),
+        "cr": z, "cg": z, "cb": z, "ca": z,
+        "depth": z, "max_weight": z,
         "alive": alive0,
-        "surf_a": jnp.where(alive0, surface_rgba[:, 3], 0.0),
+        "surf_a": jnp.where(alive0, surf4[3], 0.0),
+        # NeRF-only weight sum (excludes surface blend weight), used by
+        # the deferred shading pass; dead weight otherwise
+        "wn": z,
     }
 
 
@@ -357,8 +405,9 @@ def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
 # ---------------------------------------------------------------------------
 
 def _advance_pass(st, scene, opts: MarchOptions, iters: int):
-    o, d = st["o"], st["d"]
-    idir = 1.0 / d
+    o3 = (st["ox"], st["oy"], st["oz"])
+    d3 = (st["dx"], st["dy"], st["dz"])
+    id3 = tuple(1.0 / d for d in d3)
     t_surface = st["t_surf"]
     has_surface = t_surface > 0.0
 
@@ -367,11 +416,11 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
     def body(_, carry):
         t, alive, settled = carry
         active = ~settled & alive
-        pos = o + d * t[:, None]
+        p3 = _at(o3, d3, t)
         surf_pending = surf_live & (t >= t_surface)
-        inside = _contains_local(pos, scene)
+        inside = _contains_local_soa(p3, scene)
         dt = occ_ops.calc_dt(t - st["t_start"], opts.cone_angle)
-        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
+        occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
         # exit, stop at occupancy
         newly_park = active & (surf_pending | (~inside & surf_live))
@@ -395,17 +444,19 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
 def _march_round(st, params, scene, opts: MarchOptions):
     """Generate up to K samples per ray, evaluate the network, composite.
     Returns the updated state dict. Semantics per composite_kernel_nerf —
-    see module docstring."""
+    see module docstring. All per-ray state is SoA component arrays; the
+    K-sample batches are (K, n) arrays (lane-packed)."""
     cfg = opts.config
     K = opts.steps_per_round
-    o, d = st["o"], st["d"]
-    n = o.shape[0]
-    idir = 1.0 / d
+    o3 = (st["ox"], st["oy"], st["oz"])
+    d3 = (st["dx"], st["dy"], st["dz"])
+    n = o3[0].shape[0]
+    id3 = tuple(1.0 / d for d in d3)
     t_surface = st["t_surf"]
-    surface_rgba = st["surf"]
     t_start = st["t_start"]
     has_surface = t_surface > 0.0
-    train_extent = scene["train_max"] - scene["train_min"]
+    tmin3 = scene["train_min"]
+    text3 = scene["train_max"] - scene["train_min"]
 
     def gen_step(carry, _):
         t, gen_alive, surf_a = carry
@@ -413,11 +464,11 @@ def _march_round(st, params, scene, opts: MarchOptions):
         def skip_body(_, sk):
             t, status = sk
             active = status == 0
-            pos = o + d * t[:, None]
+            p3 = _at(o3, d3, t)
             surf_stop = has_surface & (t > t_surface) & (surf_a >= 1.0)
-            inside = _contains_local(pos, scene)
+            inside = _contains_local_soa(p3, scene)
             dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
-            occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
+            occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
             new_status = jnp.where(
                 surf_stop, 3, jnp.where(~inside, 2, jnp.where(occ, 1, 0)))
             status = jnp.where(active, new_status, status)
@@ -429,14 +480,13 @@ def _march_round(st, params, scene, opts: MarchOptions):
                                       (t, status0))
 
         found = status == 1
-        pos = o + d * t[:, None]
         dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
         exited = status == 2
         surf_stopped = status == 3
 
         t_out = jnp.where(found, t + dt, jnp.where(surf_stopped, t_surface, t))
         gen_alive = gen_alive & (found | (status == 0))
-        sample = {"pos": pos, "dt": dt, "valid": found, "t_sample": t}
+        sample = {"dt": dt, "valid": found, "t_sample": t}
         return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
 
     t_round_start = st["t"]
@@ -444,15 +494,12 @@ def _march_round(st, params, scene, opts: MarchOptions):
         # constant-dt fast path: all K sample positions in one shot
         dt_c = occ_ops.calc_dt(jnp.zeros(()), 0.0)
         t_i = st["t"][None] + dt_c * jnp.arange(K, dtype=jnp.float32)[:, None]
-        pos_k = o[None] + d[None] * t_i[..., None]               # (K, n, 3)
+        pk3 = tuple(o[None] + dc[None] * t_i for o, dc in zip(o3, d3))
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
-        inside = _contains_local(pos_k.reshape(-1, 3), scene).reshape(K, n)
-        occ_k, _ = _occupied(scene, pos_k.reshape(-1, 3),
-                             jnp.full((K * n,), dt_c), opts)
-        occ_k = occ_k.reshape(K, n)
-        samples = {"pos": pos_k,
-                   "dt": jnp.full((K, n), dt_c),
+        inside = _contains_local_soa(pk3, scene)
+        occ_k, _ = _occupied_soa(scene, pk3, jnp.full((K, n), dt_c), opts)
+        samples = {"dt": jnp.full((K, n), dt_c),
                    "valid": inside & occ_k & ~surf_block,
                    "t_sample": t_i}
         surf_stopped = surf_block.any(axis=0) & st["alive"]
@@ -468,76 +515,99 @@ def _march_round(st, params, scene, opts: MarchOptions):
     terminated_early = exited | surf_stopped
 
     # --- network evaluation on the (n*K) masked batch --------------------
-    pos = samples["pos"]                          # (K, n, 3)
+    t_k = samples["t_sample"]                     # (K, n)
     valid = samples["valid"] & st["alive"][None]  # (K, n)
-    pos01 = (pos - scene["train_min"]) / train_extent
-    pos01 = jnp.where(valid[..., None], pos01, 0.5)
-    dir01 = (d + 1.0) * 0.5
-    dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
+    p01k3 = tuple(
+        jnp.where(valid, (o[None] + dc[None] * t_k - tmin3[i]) / text3[i],
+                  0.5)
+        for i, (o, dc) in enumerate(zip(o3, d3)))
+    d01_3 = tuple((dc + 1.0) * 0.5 for dc in d3)          # (n,) each
 
     # --- composite setup (surface blend must precede weight estimates) ---
-    rgba = st["rgba"]
+    cr, cg, cb, ca = st["cr"], st["cg"], st["cb"], st["ca"]
     comp_alive = st["alive"]
     surf_a = st["surf_a"]
+    sr, sg, sb, sa = st["sr"], st["sg"], st["sb"], st["sa"]
 
     # in-march surface blend: fires once, before the round's samples, for
     # rays whose payload-t has crossed t_surface (testbed.cu:843-857)
     t_payload = jnp.where(exited, t_round_start,
                           jnp.where(surf_stopped, t_surface, t_end))
     trigger = comp_alive & has_surface & (t_payload > t_surface) & (surf_a > 0.0)
-    T = 1.0 - rgba[:, 3]
-    blend = jnp.concatenate(
-        [surface_rgba[:, :3] * (surf_a * T)[:, None], (surf_a * T)[:, None]],
-        -1)
-    rgba = jnp.where(trigger[:, None], rgba + blend, rgba)
+    wsurf = jnp.where(trigger, surf_a * (1.0 - ca), 0.0)
+    cr = cr + sr * wsurf
+    cg = cg + sg * wsurf
+    cb = cb + sb * wsurf
+    ca = ca + wsurf
     surf_a = jnp.where(trigger, 0.0, surf_a)
-    sat = trigger & (rgba[:, 3] > 0.99)
-    rgba = jnp.where(sat[:, None], rgba / jnp.maximum(rgba[:, 3:4], 1e-9),
-                     rgba)
+    sat = trigger & (ca > 0.99)
+    inv_sat = jnp.where(sat, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
+    cr, cg, cb, ca = cr * inv_sat, cg * inv_sat, cb * inv_sat, ca * inv_sat
+    wn = st["wn"] * inv_sat if opts.deferred_color else st["wn"]
     comp_alive = comp_alive & ~sat
 
     if opts.use_baked_sigma:
-        sigma = sample_baked_sigma(scene["sigma"], pos01)      # (K, n)
+        sigma = sample_sigma_bricks_soa(scene["sigma"], *p01k3)  # (K, n)
         alpha_k = jnp.where(valid, 1.0 - jnp.exp(-sigma * samples["dt"]),
                             0.0)
         # prospective weights: alpha * current T * exclusive transmittance
-        T0 = jnp.where(comp_alive, 1.0 - rgba[:, 3], 0.0)       # (n,)
+        T0 = jnp.where(comp_alive, 1.0 - ca, 0.0)               # (n,)
         cum = jnp.concatenate(
             [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_k, axis=0)[:-1]], 0)
         w_prosp = alpha_k * T0[None] * cum
         sig = valid & (w_prosp > opts.sig_threshold)
 
-        flat_sig = sig.reshape(-1)
-        total = K * n
-        ids = jnp.arange(total, dtype=jnp.int32)
-        n_sig = jnp.sum(flat_sig.astype(jnp.int32))
-        pos_a = jnp.cumsum(flat_sig.astype(jnp.int32)) - 1
-        pos_d = n_sig + jnp.cumsum((~flat_sig).astype(jnp.int32)) - 1
-        slot = jnp.where(flat_sig, pos_a, pos_d)
-        perm = jnp.zeros((total,), jnp.int32).at[slot].set(ids)
+        if opts.deferred_color:
+            # no color in the march: weights composite against black and
+            # the deferred pass adds each ray's color at the end
+            zk = jnp.zeros((K, n))
+            r_s, g_s, b_s = zk, zk, zk
+        else:
+            flat_sig = sig.reshape(-1)
+            total = K * n
+            ids = jnp.arange(total, dtype=jnp.int32)
+            n_sig = jnp.sum(flat_sig.astype(jnp.int32))
+            pos_a = jnp.cumsum(flat_sig.astype(jnp.int32)) - 1
+            pos_d = n_sig + jnp.cumsum((~flat_sig).astype(jnp.int32)) - 1
+            slot = jnp.where(flat_sig, pos_a, pos_d)
+            perm = jnp.zeros((total,), jnp.int32).at[slot].set(ids)
 
-        SUB = min(opts.color_subchunk, total)
-        n_sub = (n_sig + SUB - 1) // SUB
-        pos_flat = pos01.reshape(-1, 3)
-        dir_flat = dir01_k.reshape(-1, 3)
-        rgb_flat = jnp.zeros((total, 3))
+            SUB = min(opts.color_subchunk, total)
+            n_sub = (n_sig + SUB - 1) // SUB
+            pf3 = tuple(p.reshape(-1) for p in p01k3)
+            df3 = tuple(jnp.broadcast_to(dc[None], (K, n)).reshape(-1)
+                        for dc in d01_3)
+            rflat = jnp.zeros((total,))
+            gflat = jnp.zeros((total,))
+            bflat = jnp.zeros((total,))
 
-        def sub_body(i, rgb_flat):
-            sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
-            rgb_raw, _ = apply_network(params, pos_flat[sel], dir_flat[sel],
-                                       cfg, compute_dtype=opts.cdtype,
-                                       extra=scene.get("extra_dims"))
-            rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-            return rgb_flat.at[sel].set(rgb_sel)
+            def sub_body(i, carry):
+                rflat, gflat, bflat = carry
+                sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
+                rgb_raw, _ = apply_network_soa(
+                    params, pf3[0][sel], pf3[1][sel], pf3[2][sel],
+                    df3[0][sel], df3[1][sel], df3[2][sel], cfg,
+                    compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
+                rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+                return (rflat.at[sel].set(rgb_sel[:, 0]),
+                        gflat.at[sel].set(rgb_sel[:, 1]),
+                        bflat.at[sel].set(rgb_sel[:, 2]))
 
-        rgb_flat = jax.lax.fori_loop(0, n_sub, sub_body, rgb_flat)
-        rgb_s = rgb_flat.reshape(K, n, 3)
+            rflat, gflat, bflat = jax.lax.fori_loop(
+                0, n_sub, sub_body, (rflat, gflat, bflat))
+            r_s = rflat.reshape(K, n)
+            g_s = gflat.reshape(K, n)
+            b_s = bflat.reshape(K, n)
     else:
-        rgb_raw, sigma_raw = apply_network(
-            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
+        rgb_raw, sigma_raw = apply_network_soa(
+            params, *(p.reshape(-1) for p in p01k3),
+            *(jnp.broadcast_to(dc[None], (K, n)).reshape(-1)
+              for dc in d01_3), config=cfg,
             compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
-        rgb_s = apply_rgb_activation(rgb_raw.reshape(K, n, 3),
-                                     cfg.rgb_activation)
+        rgb_act = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+        r_s = rgb_act[:, 0].reshape(K, n)
+        g_s = rgb_act[:, 1].reshape(K, n)
+        b_s = rgb_act[:, 2].reshape(K, n)
         sigma = apply_density_activation(sigma_raw.reshape(K, n),
                                          cfg.density_activation)
         alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
@@ -549,71 +619,136 @@ def _march_round(st, params, scene, opts: MarchOptions):
         # pushes accumulated alpha past 1 - min_transmittance)
         use = comp_alive[None] & valid                         # (K, n)
         alpha_u = jnp.where(use, alpha_k, 0.0)
-        T0 = 1.0 - rgba[:, 3]                                  # (n,)
+        T0 = 1.0 - ca                                          # (n,)
         texcl = jnp.concatenate(
             [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_u, axis=0)[:-1]], 0)
         w_all = alpha_u * T0[None] * texcl                     # (K, n)
-        a_cum = rgba[:, 3][None] + jnp.cumsum(w_all, axis=0)
+        a_cum = ca[None] + jnp.cumsum(w_all, axis=0)
         done_k = use & (a_cum > 1.0 - opts.min_transmittance)
         # samples after the first 'done' are never composited
         blocked = jnp.concatenate(
             [jnp.zeros((1, n), bool), jnp.cumsum(done_k, axis=0)[:-1] > 0], 0)
         w = jnp.where(blocked, 0.0, w_all)
-        rgba = rgba + jnp.concatenate(
-            [jnp.sum(w[..., None] * rgb_s, axis=0),
-             jnp.sum(w, axis=0, keepdims=True).T], axis=-1)
+        wsum = jnp.sum(w, axis=0)
+        cr = cr + jnp.sum(w * r_s, axis=0)
+        cg = cg + jnp.sum(w * g_s, axis=0)
+        cb = cb + jnp.sum(w * b_s, axis=0)
+        ca = ca + wsum
+        if opts.deferred_color:
+            wn = wn + wsum
         # depth = distance of the round's max-weight sample if it beats
         # the carried max (first occurrence, matching the sequential >)
         w_max = jnp.max(w, axis=0)
         w_arg = jnp.argmax(w, axis=0)
-        t_at = jnp.take_along_axis(samples["t_sample"], w_arg[None], 0)[0]
+        t_at = jnp.take_along_axis(t_k, w_arg[None], 0)[0]
         upd = w_max > st["max_weight"]
         max_w = jnp.where(upd, w_max, st["max_weight"])
         depth = jnp.where(upd, t_at, st["depth"])
         saturated = (done_k & ~blocked).any(axis=0)
-        rgba = jnp.where(saturated[:, None],
-                         rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+        inv = jnp.where(saturated, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
+        cr, cg, cb, ca = cr * inv, cg * inv, cb * inv, ca * inv
+        if opts.deferred_color:
+            wn = wn * inv
         comp_alive = comp_alive & ~saturated
     else:
         def comp_step(carry, inp):
-            rgba, depth, max_w, comp_alive = carry
-            s_valid, alpha, rgb, t_sample = inp
+            cr, cg, cb, ca, wn, depth, max_w, comp_alive = carry
+            s_valid, alpha, rs, gs, bs, t_sample = inp
             use = comp_alive & s_valid
-            T = 1.0 - rgba[:, 3]
-            w = jnp.where(use, alpha * T, 0.0)
-            rgba = rgba + jnp.concatenate([rgb * w[:, None], w[:, None]],
-                                          axis=-1)
+            w = jnp.where(use, alpha * (1.0 - ca), 0.0)
+            cr = cr + rs * w
+            cg = cg + gs * w
+            cb = cb + bs * w
+            ca = ca + w
+            if opts.deferred_color:
+                wn = wn + w
             upd = w > max_w
             max_w = jnp.where(upd, w, max_w)
             depth = jnp.where(upd & use, t_sample, depth)
-            done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
-            rgba = jnp.where(done[:, None],
-                             rgba / jnp.maximum(rgba[:, 3:4], 1e-9), rgba)
+            done = use & (ca > 1.0 - opts.min_transmittance)
+            inv = jnp.where(done, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
+            cr, cg, cb, ca = cr * inv, cg * inv, cb * inv, ca * inv
+            if opts.deferred_color:
+                wn = wn * inv
             comp_alive = comp_alive & ~done
-            return (rgba, depth, max_w, comp_alive), None
+            return (cr, cg, cb, ca, wn, depth, max_w, comp_alive), None
 
-        (rgba, depth, max_w, comp_alive), _ = jax.lax.scan(
-            comp_step, (rgba, st["depth"], st["max_weight"], comp_alive),
-            (valid, alpha_k, rgb_s, samples["t_sample"]))
+        (cr, cg, cb, ca, wn, depth, max_w, comp_alive), _ = jax.lax.scan(
+            comp_step,
+            (cr, cg, cb, ca, wn, st["depth"], st["max_weight"], comp_alive),
+            (valid, alpha_k, r_s, g_s, b_s, t_k))
 
     # final surface blend for terminated rays (testbed.cu:886-897)
     fin = comp_alive & terminated_early & (surf_a > 0.0)
-    rem = 1.0 - rgba[:, 3:4]
-    rgba = jnp.where(fin[:, None], rgba + surface_rgba * rem, rgba)
+    rem = jnp.where(fin, 1.0 - ca, 0.0)
+    cr = cr + sr * rem
+    cg = cg + sg * rem
+    cb = cb + sb * rem
+    ca = ca + sa * rem
     comp_alive = comp_alive & ~terminated_early
 
-    return {**st, "t": t_end, "rgba": rgba, "depth": depth,
-            "max_weight": max_w, "alive": comp_alive, "surf_a": surf_a}
+    return {**st, "t": t_end, "cr": cr, "cg": cg, "cb": cb, "ca": ca,
+            "wn": wn, "depth": depth, "max_weight": max_w,
+            "alive": comp_alive, "surf_a": surf_a}
+
+
+def _deferred_shade(st, params, scene, opts: MarchOptions):
+    """Deferred shading: one network eval per surviving ray at its
+    max-weight sample (position o + d*depth), scaled by the ray's
+    accumulated NeRF weight wn, added into the composited color.
+    Compacted so only rays with wn > threshold pay the network."""
+    cfg = opts.config
+    wn = st["wn"]
+    n = wn.shape[0]
+    need = wn > 1e-4
+    ids = jnp.arange(n, dtype=jnp.int32)
+    n_sig = jnp.sum(need.astype(jnp.int32))
+    pos_a = jnp.cumsum(need.astype(jnp.int32)) - 1
+    pos_d = n_sig + jnp.cumsum((~need).astype(jnp.int32)) - 1
+    slot = jnp.where(need, pos_a, pos_d)
+    perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+
+    CH = min(opts.chunk, n)
+    n_chunks = (n_sig + CH - 1) // CH
+    tmin3 = scene["train_min"]
+    text3 = scene["train_max"] - scene["train_min"]
+
+    def body(i, carry):
+        cr, cg, cb = carry
+        idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
+        t = st["depth"][idx]
+        p01 = []
+        d01 = []
+        for k, (ok, dk) in enumerate((("ox", "dx"), ("oy", "dy"),
+                                      ("oz", "dz"))):
+            oc = st[ok][idx]
+            dc = st[dk][idx]
+            p01.append(jnp.clip((oc + dc * t - tmin3[k]) / text3[k],
+                                0.0, 1.0))
+            d01.append((dc + 1.0) * 0.5)
+        rgb_raw, _ = apply_network_soa(
+            params, p01[0], p01[1], p01[2], d01[0], d01[1], d01[2], cfg,
+            compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
+        rgb = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
+        wsel = wn[idx]
+        return (cr.at[idx].add(rgb[:, 0] * wsel),
+                cg.at[idx].add(rgb[:, 1] * wsel),
+                cb.at[idx].add(rgb[:, 2] * wsel))
+
+    cr, cg, cb = jax.lax.fori_loop(
+        0, n_chunks, body, (st["cr"], st["cg"], st["cb"]))
+    return {**st, "cr": cr, "cg": cg, "cb": cb}
 
 
 def _finalize(st):
-    rgba = st["rgba"]
-    keep = rgba[:, 3] > 0.001   # compact_kernel_nerf's w>0.001 filter
-    rgba = jnp.where(keep[:, None], rgba, 0.0)
+    keep = st["ca"] > 0.001   # compact_kernel_nerf's w>0.001 filter
+    comps = [jnp.where(keep, c, 0.0)
+             for c in (st["cr"], st["cg"], st["cb"], st["ca"])]
+    rgba = jnp.stack(comps, axis=-1)
     # depth written only when the splat alpha exceeds 0.2, else the
     # buffer keeps its cleared value 0 (shade_kernel_nerf,
     # testbed.cu:927-929; clear_frame memsets depth to 0)
-    depth = jnp.where(rgba[:, 3] > 0.2, st["depth"], 0.0)
+    depth = jnp.where(comps[3] > 0.2, st["depth"], 0.0)
     return {"rgba": rgba, "depth": depth}
 
 
@@ -627,6 +762,10 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
     """March one tile of rays to completion (masked while_loop)."""
     st = _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index)
     st["round"] = jnp.int32(0)
+    return _march_rays_from_state(st, params, scene, opts)
+
+
+def _march_rays_from_state(st, params, scene, opts: MarchOptions):
 
     def cond(st):
         return jnp.any(st["alive"]) & (st["round"] < opts.max_rounds)
@@ -638,6 +777,8 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
         return st
 
     final = jax.lax.while_loop(cond, body, st)
+    if opts.deferred_color and opts.use_baked_sigma:
+        final = _deferred_shade(final, params, scene, opts)
     return _finalize(final)
 
 
@@ -645,8 +786,10 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
 # Frame API: single dispatch with on-device ray compaction
 # ---------------------------------------------------------------------------
 
-_MUTABLE = ("t", "rgba", "depth", "max_weight", "alive", "surf_a")
-_CONST = ("o", "d", "surf", "t_surf", "t_start")
+_MUTABLE = ("t", "cr", "cg", "cb", "ca", "depth", "max_weight", "alive",
+            "surf_a")
+_CONST = ("ox", "oy", "oz", "dx", "dy", "dz", "sr", "sg", "sb", "sa",
+          "t_surf", "t_start")
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -654,10 +797,61 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
                 opts: MarchOptions, sample_index=0):
     """March a whole frame in ONE dispatch with periodic on-device
     compaction. N must be a multiple of opts.chunk."""
-    n = o.shape[0]
+    sr, sg, sb, sa = (surface_rgba[:, 0], surface_rgba[:, 1],
+                      surface_rgba[:, 2], surface_rgba[:, 3])
+    return march_frame_soa(params, scene, _split3(o), _split3(d),
+                           (sr, sg, sb, sa), t_surface, opts, sample_index)
+
+
+def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
+                    opts: MarchOptions, sample_index=0,
+                    chunk_raygen=None, has_surface: bool = True):
+    """SoA entry: o3/d3 = (x, y, z) tuples of (N,), surf4 = (r, g, b, a)
+    tuple of (N,).
+
+    chunk_raygen: optional closure (ray_idx (CH,) int32) -> (o3, d3)
+    that recomputes ray origins/dirs from ray ids — saves 6 of the
+    per-chunk state gathers for camera-generated rays (the frame path).
+    has_surface=False additionally binds the surface payload to zeros
+    inside each chunk instead of gathering/scattering it.
+    """
+    n = o3[0].shape[0]
     CH = opts.chunk
     assert n % CH == 0, (n, CH)
-    st = _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index)
+    cone0 = opts.cone_angle == 0.0
+    if cone0 and opts.config.max_cascade == 0:
+        # Skip the full-N init DDA: with constant dt the per-epoch
+        # advance pass performs the identical quantized stepping on the
+        # compacted chunks only — the 16-iteration init walk over ALL
+        # rays (dead ones included) measured ~130 ms/frame at 720p.
+        opts = dataclasses.replace(opts, init_skip_iters=0)
+    st = _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index)
+
+    # Per-chunk state traffic: every key gathered/scattered is a separate
+    # (CH,) gather/scatter op, and op count is what this machine bills
+    # for. Keys that are recomputable (o/d via chunk_raygen), constant
+    # (surface payload when has_surface=False; t_start when cone==0 — it
+    # only feeds calc_dt(t - t_start), constant dt), or positional
+    # (alive: the partition puts alive rays first) skip the round trip.
+    gather_keys = ["t", "cr", "cg", "cb", "ca", "depth", "max_weight"]
+    zero_keys = []
+    if has_surface:
+        gather_keys += ["surf_a", "t_surf", "sr", "sg", "sb", "sa"]
+    else:
+        zero_keys += ["surf_a", "t_surf", "sr", "sg", "sb", "sa"]
+    if cone0:
+        zero_keys += ["t_start"]
+    else:
+        gather_keys += ["t_start"]
+    if chunk_raygen is None:
+        gather_keys += ["ox", "oy", "oz", "dx", "dy", "dz"]
+    scatter_keys = ["t", "cr", "cg", "cb", "ca", "depth", "max_weight",
+                    "alive"] + (["surf_a"] if has_surface else [])
+    if opts.deferred_color:
+        gather_keys += ["wn"]
+        scatter_keys += ["wn"]
+    else:
+        zero_keys += ["wn"]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     epoch_rounds = opts.rounds_per_epoch
@@ -682,7 +876,16 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
 
         def chunk_body(i, st):
             idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
-            sub = {k: st[k][idx] for k in _MUTABLE + _CONST}
+            sub = {k: st[k][idx] for k in gather_keys}
+            z = jnp.zeros((CH,), jnp.float32)
+            for k in zero_keys:
+                sub[k] = z
+            if chunk_raygen is not None:
+                co3, cd3 = chunk_raygen(idx)
+                sub["ox"], sub["oy"], sub["oz"] = co3
+                sub["dx"], sub["dy"], sub["dz"] = cd3
+            sub["alive"] = (i * CH + jnp.arange(CH, dtype=jnp.int32)
+                            ) < n_alive
             # cross empty space on occupancy lookups alone, then spend
             # network rounds only on rays parked at occupied cells
             sub = _advance_pass(sub, scene, opts, opts.advance_iters)
@@ -691,7 +894,7 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
                 return _march_round(sub, params, scene, opts)
 
             sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
-            for k in _MUTABLE:
+            for k in scatter_keys:
                 st[k] = st[k].at[idx].set(sub[k])
             return st
 
@@ -700,6 +903,8 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
 
     final, _ = jax.lax.while_loop(outer_cond, outer_body,
                                   (st, jnp.int32(0)))
+    if opts.deferred_color and opts.use_baked_sigma:
+        final = _deferred_shade(final, params, scene, opts)
     return _finalize(final)
 
 
@@ -716,27 +921,30 @@ def collide_march(params, scene, o, d, opts: MarchOptions):
     -> distances (N,), 0 where no collision."""
     n = o.shape[0]
     cfg = opts.config
-    dv = jnp.broadcast_to(d, (n, 3))
-    idir = 1.0 / dv
-    train_extent = scene["train_max"] - scene["train_min"]
+    o3 = _split3(o)
+    d3 = tuple(jnp.broadcast_to(d[i], (n,)) for i in range(3))
+    id3 = tuple(1.0 / dc for dc in d3)
+    tmin3 = scene["train_min"]
+    text3 = scene["train_max"] - scene["train_min"]
 
     def body(st):
         t, dist, alive, it = st
-        pos = o + dv * t[:, None]
-        inside = _contains_local(pos, scene)
+        p3 = _at(o3, d3, t)
+        inside = _contains_local_soa(p3, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, mip = _occupied(scene, pos, dt, opts)
+        occ, mip = _occupied_soa(scene, p3, dt, opts)
         res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, dv,
-                                            idir, res)
-        pos01 = jnp.clip((pos - scene["train_min"]) / train_extent, 0.0, 1.0)
-        from nerf_glasses_tpu.ops.network import density_raw
-        sigma_raw = density_raw(params, pos01, cfg,
-                                compute_dtype=opts.cdtype)[:, 0]
+        adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3,
+                                                id3, res)
+        p01 = tuple(jnp.clip((p - tmin3[i]) / text3[i], 0.0, 1.0)
+                    for i, p in enumerate(p3))
+        from nerf_glasses_tpu.ops.network import density_raw_soa
+        sigma_raw = density_raw_soa(params, *p01, config=cfg,
+                                    compute_dtype=opts.cdtype)[:, 0]
         sigma = apply_density_activation(sigma_raw, cfg.density_activation)
         alpha = 1.0 - jnp.exp(-sigma * dt)
         hit = alive & inside & occ & (alpha > 0.0)
-        dist = jnp.where(hit, jnp.linalg.norm(pos - o, axis=-1), dist)
+        dist = jnp.where(hit, t, dist)
         alive = alive & inside & ~hit
         t = jnp.where(alive & ~occ, adv, jnp.where(alive, t + dt, t))
         return t, dist, alive, it + 1
@@ -809,79 +1017,125 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
         return fn
 
     def f(params, scene, cam, cam_end, rshut, lens_params, dist_grid,
-          surface_rgba, t_surface, sample_index):
+          surface_rgba, t_surface, sample_index, pix_offset):
         px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
         py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
         if snap_centers:
             ox = jnp.float32(0.5)
             oy = jnp.float32(0.5)
         else:
-            ox = _radical_inverse(2, sample_index + 1)
-            oy = _radical_inverse(3, sample_index + 1)
+            # Halton(2,3) sub-pixel offsets, host-computed per frame
+            ox = pix_offset[0]
+            oy = pix_offset[1]
         u = (px + ox) / width
         v = (py + oy) / height
-        uv = jnp.stack([u, v], axis=-1)
 
+        # camera-space direction components (H, W) — lane-packed SoA
         if lens_mode == "ftheta":
+            uv = jnp.stack([u, v], axis=-1)
             dir_cam = _f_theta_dirs(uv - 0.5, lens_params)
+            cx, cy, cz = (dir_cam[..., 0], dir_cam[..., 1], dir_cam[..., 2])
         elif lens_mode == "latlong":
+            uv = jnp.stack([u, v], axis=-1)
             dir_cam = _latlong_dirs(uv)
+            cx, cy, cz = (dir_cam[..., 0], dir_cam[..., 1], dir_cam[..., 2])
         else:
-            x = u * 2.0 - 1.0
-            y = v * 2.0 - 1.0
+            cx = u * 2.0 - 1.0
+            cy = v * 2.0 - 1.0
             if lens_mode == "opencv":
-                x, y = _opencv_undistort(x, y, lens_params)
-            dir_cam = jnp.stack([x, y, jnp.ones((height, width))], axis=-1)
+                cx, cy = _opencv_undistort(cx, cy, lens_params)
+            cz = jnp.ones((height, width))
         if has_dist_grid:
-            dir_cam = dir_cam.at[..., :2].add(_read_image2(dist_grid, uv))
-        dir_cam = dir_cam.reshape(-1, 3)
+            uv = jnp.stack([u, v], axis=-1)
+            dg = _read_image2(dist_grid, uv)
+            cx = cx + dg[..., 0]
+            cy = cy + dg[..., 1]
+        cx = cx.reshape(-1)
+        cy = cy.reshape(-1)
+        cz = cz.reshape(-1)
 
         if shutter:
             pix = jnp.arange(npix, dtype=jnp.uint32)
             rnd = _hash_u32(pix * jnp.uint32(72239731)
                             + jnp.asarray(sample_index).astype(jnp.uint32)
                             * jnp.uint32(2654435761))
-            ray_time = (rshut[0] + rshut[1] * u.reshape(-1)
-                        + rshut[2] * v.reshape(-1) + rshut[3] * rnd)
-            rt = ray_time[:, None, None]
-            cam_px = cam[None] * rt + cam_end[None] * (1.0 - rt)  # (N,3,4)
-            d = jnp.einsum("nij,nj->ni", cam_px[:, :, :3], dir_cam)
-            o = cam_px[:, :, 3] + 0.5
+            rt = (rshut[0] + rshut[1] * u.reshape(-1)
+                  + rshut[2] * v.reshape(-1) + rshut[3] * rnd)
+
+            def lerp(i, j):
+                return cam[i, j] * rt + cam_end[i, j] * (1.0 - rt)
+
+            d3 = tuple(lerp(i, 0) * cx + lerp(i, 1) * cy + lerp(i, 2) * cz
+                       for i in range(3))
+            o3 = tuple(lerp(i, 3) + 0.5 for i in range(3))
         else:
-            d = dir_cam @ cam[:, :3].T
-            o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
+            d3 = tuple(cam[i, 0] * cx + cam[i, 1] * cy + cam[i, 2] * cz
+                       for i in range(3))
+            o3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, (npix,))
+                       for i in range(3))
         if opts.aperture_size > 0.0:
             # square -> Shirley disk of per-pixel low-discrepancy values
             pix = jnp.arange(npix, dtype=jnp.uint32)
-            u = _hash_u32(pix * jnp.uint32(2654435761)
-                          + jnp.uint32(sample_index)) * 2.0 - 1.0
-            v = _hash_u32(pix * jnp.uint32(805459861)
-                          + jnp.uint32(sample_index * 9781 + 1)) * 2.0 - 1.0
-            r = jnp.where(jnp.abs(u) > jnp.abs(v), u, v)
+            ua = _hash_u32(pix * jnp.uint32(2654435761)
+                           + jnp.uint32(sample_index)) * 2.0 - 1.0
+            va = _hash_u32(pix * jnp.uint32(805459861)
+                           + jnp.uint32(sample_index * 9781 + 1)) * 2.0 - 1.0
+            r = jnp.where(jnp.abs(ua) > jnp.abs(va), ua, va)
             phi = jnp.where(
-                jnp.abs(u) > jnp.abs(v), (jnp.pi / 4.0) * (v / jnp.where(
-                    u == 0.0, 1.0, u)),
-                (jnp.pi / 2.0) - (jnp.pi / 4.0) * (u / jnp.where(
-                    v == 0.0, 1.0, v)))
-            blur = opts.aperture_size * jnp.stack(
-                [r * jnp.cos(phi), r * jnp.sin(phi)], -1)        # (N, 2)
-            lookat = o + d * opts.focus_z
-            o = o + blur[:, :1] * cam[:, 0] + blur[:, 1:2] * cam[:, 1]
-            d = (lookat - o) / opts.focus_z
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                jnp.abs(ua) > jnp.abs(va), (jnp.pi / 4.0) * (va / jnp.where(
+                    ua == 0.0, 1.0, ua)),
+                (jnp.pi / 2.0) - (jnp.pi / 4.0) * (ua / jnp.where(
+                    va == 0.0, 1.0, va)))
+            bu = opts.aperture_size * r * jnp.cos(phi)
+            bv = opts.aperture_size * r * jnp.sin(phi)
+            look3 = tuple(o + d * opts.focus_z for o, d in zip(o3, d3))
+            o3 = tuple(o + bu * cam[i, 0] + bv * cam[i, 1]
+                       for i, o in enumerate(o3))
+            d3 = tuple((lk - o) / opts.focus_z for lk, o in zip(look3, o3))
+        inv_norm = 1.0 / jnp.sqrt(d3[0] * d3[0] + d3[1] * d3[1]
+                                  + d3[2] * d3[2])
+        d3 = tuple(d * inv_norm for d in d3)
         if has_surface:
             surf = surface_rgba.reshape(npix, 4)
+            surf4 = (surf[:, 0], surf[:, 1], surf[:, 2], surf[:, 3])
             tsurf = t_surface.reshape(npix)
         else:
-            surf = jnp.zeros((npix, 4))
+            z = jnp.zeros((npix,))
+            surf4 = (z, z, z, z)
             tsurf = jnp.zeros((npix,))
         if pad:
-            o = jnp.concatenate([o, jnp.broadcast_to(o[-1], (pad, 3))])
-            d = jnp.concatenate([d, jnp.broadcast_to(d[-1], (pad, 3))])
-            surf = jnp.concatenate([surf, jnp.zeros((pad, 4))])
-            tsurf = jnp.concatenate([tsurf, jnp.zeros((pad,))])
-        out = march_frame(params, scene, o, d, surf, tsurf, opts,
-                          sample_index)
+            def padded(a):
+                return jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad,))])
+
+            o3 = tuple(padded(a) for a in o3)
+            d3 = tuple(padded(a) for a in d3)
+            zp = jnp.zeros((pad,))
+            surf4 = tuple(jnp.concatenate([a, zp]) for a in surf4)
+            tsurf = jnp.concatenate([tsurf, zp])
+        plain_cam = (lens_mode not in ("ftheta", "latlong", "opencv")
+                     and not has_dist_grid and not shutter
+                     and opts.aperture_size == 0.0)
+        if plain_cam:
+            # chunks recompute rays from pixel ids (~15 cheap vector ops)
+            # instead of 6 per-chunk state gathers
+            def chunk_raygen(idx):
+                fx = (jnp.remainder(idx, width).astype(jnp.float32) + ox) \
+                    / width * 2.0 - 1.0
+                fy = ((idx // width).astype(jnp.float32) + oy) \
+                    / height * 2.0 - 1.0
+                cd3 = tuple(cam[i, 0] * fx + cam[i, 1] * fy + cam[i, 2]
+                            for i in range(3))
+                inv = 1.0 / jnp.sqrt(cd3[0] * cd3[0] + cd3[1] * cd3[1]
+                                     + cd3[2] * cd3[2])
+                cd3 = tuple(dc * inv for dc in cd3)
+                co3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, idx.shape)
+                            for i in range(3))
+                return co3, cd3
+        else:
+            chunk_raygen = None
+        out = march_frame_soa(params, scene, o3, d3, surf4, tsurf, opts,
+                              sample_index, chunk_raygen=chunk_raygen,
+                              has_surface=has_surface)
         rgba = out["rgba"][:npix].reshape(height, width, 4)
         depth = out["depth"][:npix].reshape(height, width)
         return _shade_frame(rgba, linear_colors), depth
@@ -925,9 +1179,12 @@ def render_image_device(params, scene, camera, width: int, height: int,
                      else np.zeros(7), jnp.float32)
     dg = (jnp.asarray(distortion_grid, jnp.float32) if has_dist_grid
           else jnp.zeros((1, 1, 2)))
+    si = int(sample_index) if not hasattr(sample_index, "dtype") else 0
+    pix_offset = jnp.asarray([_radical_inverse(2, si + 1),
+                              _radical_inverse(3, si + 1)], jnp.float32)
     return fn(params, scene, cam, cam_end, rshut, lp, dg,
               jnp.asarray(surface_rgba), jnp.asarray(t_surface),
-              sample_index)
+              sample_index, pix_offset)
 
 
 @partial(jax.jit, static_argnames=("linear_colors",))

@@ -12,8 +12,17 @@ import jax.numpy as jnp
 
 def sh_encode(dirs01: jnp.ndarray, degree: int = 4, padded_width: int = 16) -> jnp.ndarray:
     """dirs01: (N, 3) directions warped to [0,1] -> (N, padded_width)."""
-    d = dirs01 * 2.0 - 1.0
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return sh_encode_soa(dirs01[..., 0], dirs01[..., 1], dirs01[..., 2],
+                         degree, padded_width)
+
+
+def sh_encode_soa(dx, dy, dz, degree: int = 4,
+                  padded_width: int = 16) -> jnp.ndarray:
+    """Component-array variant: dx/dy/dz (N,) warped to [0,1]
+    -> (N, padded_width). Keeps all math on lane-packed (N,) arrays."""
+    x = dx * 2.0 - 1.0
+    y = dy * 2.0 - 1.0
+    z = dz * 2.0 - 1.0
     xy, xz, yz = x * y, x * z, y * z
     x2, y2, z2 = x * x, y * y, z * z
     x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2

@@ -98,3 +98,33 @@ def contains_aabb(p: jnp.ndarray, box_min, box_max) -> jnp.ndarray:
     box_min = jnp.asarray(box_min, p.dtype)
     box_max = jnp.asarray(box_max, p.dtype)
     return jnp.all((p >= box_min) & (p <= box_max), axis=-1)
+
+
+def ray_intersect_aabb_soa(o3, d3, box_min, box_max):
+    """Component-array slab test: o3/d3 are (ox,oy,oz)-style 3-tuples of
+    (...,) arrays -> (tmin, tmax) each (...,). Misses return FLT_MAX."""
+    box_min = jnp.asarray(box_min)
+    box_max = jnp.asarray(box_max)
+    tmin = tmax = None
+    for axis, (o, d) in enumerate(zip(o3, d3)):
+        inv = 1.0 / d
+        t0 = (box_min[axis] - o) * inv
+        t1 = (box_max[axis] - o) * inv
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        tmin = lo if tmin is None else jnp.maximum(tmin, lo)
+        tmax = hi if tmax is None else jnp.minimum(tmax, hi)
+    miss = tmin > tmax
+    fm = jnp.float32(np.finfo(np.float32).max)
+    return jnp.where(miss, fm, tmin), jnp.where(miss, fm, tmax)
+
+
+def contains_aabb_soa(p3, box_min, box_max) -> jnp.ndarray:
+    """Component-array containment: p3 = (px,py,pz) of (...,) arrays."""
+    box_min = jnp.asarray(box_min)
+    box_max = jnp.asarray(box_max)
+    out = None
+    for axis, p in enumerate(p3):
+        c = (p >= box_min[axis]) & (p <= box_max[axis])
+        out = c if out is None else out & c
+    return out

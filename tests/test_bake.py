@@ -40,3 +40,27 @@ def test_baked_sigma_lookup_exact_on_grid_points():
     out = np.asarray(sample_baked_sigma(g, jnp.asarray(pos, jnp.float32)))
     expect = np.asarray(g)[idx[:, 0], idx[:, 1], idx[:, 2]]
     np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_deferred_shading_close_to_baked(tmp_path):
+    """Deferred color (one network eval per ray at its max-weight sample)
+    stays close to the per-sample baked render on an opaque scene."""
+    import jax.numpy as jnp
+    from nerf_glasses_tpu.models.testbed import Testbed
+    from tests.helpers import write_test_snapshot
+    snap = tmp_path / "s.msgpack"
+    from tests.helpers import opaque_params
+    write_test_snapshot(snap, params=opaque_params(sigma_raw=6.0))
+    tb = Testbed()
+    tb.load_snapshot(str(snap))
+    tb.march_overrides = {"max_rounds": 64, "jitter": False}
+    tb.bake(128)
+    full = tb.render(24, 16, spp=1, linear=True)
+    tb.deferred_shading = True
+    tb.reset_accumulation()
+    deferred = tb.render(24, 16, spp=1, linear=True)
+    assert np.isfinite(deferred).all()
+    # alpha identical (same sigma path); color close on the opaque sphere
+    np.testing.assert_allclose(deferred[..., 3], full[..., 3], atol=1e-5)
+    diff = np.abs(full[..., :3] - deferred[..., :3])
+    assert float(diff.mean()) < 0.02, float(diff.mean())

@@ -55,6 +55,7 @@ def test_error_map_updates_toward_residuals():
     assert np.isfinite(em1).all() and (em1 >= 0).all()
 
 
+@pytest.mark.slow
 def test_exposure_recovers_injected_brightness():
     """Images rescaled by per-image factors 2^e_i: the exposure optimizer
     recovers the relative offsets (zero-mean, matching the re-centering

@@ -29,19 +29,15 @@ W, H = 1280, 720
 
 
 def get_testbed(cfg_name):
-    from bench import build_bench_snapshot
+    from bench import build_bench_snapshot, make_renderer
     from nerf_glasses_tpu.config import NGPConfig
-    import pynmr as nmr
     snap = os.path.join(CACHE, f"bench_head_{cfg_name}_prof.msgpack")
     if not os.path.exists(snap):
         cfg = (NGPConfig.native_wide() if cfg_name == "wide"
                else NGPConfig.native_fast())
         build_bench_snapshot(snap, cfg)
-    tb = nmr.Testbed()
-    tb.load_snapshot(snap)
-    tb.render_aabb.min = np.array([0.2, 0.15, 0.2], np.float32)
-    tb.render_aabb.max = np.array([0.8, 0.9, 0.8], np.float32)
-    # bench camera: orbit equivalent (tight head shot)
+    # the bench's own camera (orbit + zoom: head fills a realistic share)
+    renderer, tb = make_renderer(snap)
     return tb
 
 
