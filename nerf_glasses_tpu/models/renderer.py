@@ -69,6 +69,11 @@ class NerfMeshRenderer:
         from nerf_glasses_tpu.utils.meters import Ema
         self.frame_ms = Ema("time", 1000.0)   # Testbed::m_frame_ms analogue
         self.render_ms = Ema("time", 1000.0)
+        # opt-in per-phase profiling: drains the device between the mesh
+        # and NeRF passes (costs pipelining; keep off for production)
+        self.profile = False
+        self.mesh_ms = Ema("time", 1000.0)
+        self.nerf_ms = Ema("time", 1000.0)
 
     # ------------------------------------------------------------------
     # Camera
@@ -176,6 +181,7 @@ class NerfMeshRenderer:
         w, h = self.render_width, self.render_height
 
         # 1+2: mesh pass -> per-pixel surface payloads
+        t_mesh0 = time.monotonic() if self.profile else 0.0
         if self._mesh_arrays is not None and self._nerfs:
             f = self.mesh_render_size_factor
             xf, nm = tri_ops.instance_transforms(self._mesh_arrays,
@@ -187,8 +193,12 @@ class NerfMeshRenderer:
                 jnp.asarray(color), jnp.asarray(depth), f)
             self._nerfs[0].set_surface_buffers(
                 surf_c.reshape(-1, 4), surf_t.reshape(-1), w, h)
+            if self.profile:
+                surf_t.block_until_ready()
         elif self._nerfs:
             self._nerfs[0].set_surface_buffers(None, None, w, h)
+        if self.profile:
+            self.mesh_ms.update((time.monotonic() - t_mesh0) * 1000.0)
 
         if not self._nerfs:
             self._frame_buffer = np.zeros((h, w, 4), np.float32)
@@ -215,8 +225,35 @@ class NerfMeshRenderer:
             closer = db < depth
             frame = jnp.where(closer[..., None], fb, frame)
             depth = jnp.where(closer, db, depth)
+        if self.profile:
+            t_nerf0 = time.monotonic()
+            frame.block_until_ready()
+            self.nerf_ms.update((time.monotonic() - t_mesh0) * 1000.0
+                                - self.mesh_ms.val)
+            del t_nerf0
         self._frame_buffer = frame
         self._depth_buffer = depth
+
+    def stats(self) -> dict:
+        """Live render statistics — the headless analogue of the
+        reference's ImGui stats panel (FPS / frame-ms / VRAM,
+        nerf_mesh_renderer.cu:829-874). HBM numbers come from the jax
+        device's allocator; per-phase mesh/nerf times populate when
+        `renderer.profile = True`."""
+        from nerf_glasses_tpu.utils.meters import device_memory_stats
+        mem = device_memory_stats()
+        return {
+            "fps": self.fps,
+            "frame_ms": self.frame_ms.ema_val,
+            "mesh_ms": self.mesh_ms.ema_val,
+            "nerf_ms": self.nerf_ms.ema_val,
+            "hbm_bytes_in_use": mem["bytes_in_use"],
+            "hbm_bytes_limit": mem["bytes_limit"],
+            "hbm_peak_bytes_in_use": mem["peak_bytes_in_use"],
+            "n_nerfs": len(self._nerfs),
+            "n_meshes": len(self._meshes),
+            "frame_count": self._frame_count,
+        }
 
     # ------------------------------------------------------------------
     # Output access

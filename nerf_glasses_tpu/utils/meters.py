@@ -43,3 +43,22 @@ class Ema:
     @property
     def ema_val(self) -> float:
         return self._ema
+
+
+def device_memory_stats(device=None) -> dict:
+    """HBM usage of a jax device -> {"bytes_in_use", "bytes_limit",
+    "peak_bytes_in_use"} (0s when the backend exposes no stats).
+
+    The cudaMemGetInfo/VRAM-stats analogue of the reference's stats
+    panel (nerf_mesh_renderer.cu:852-873)."""
+    import jax
+    if device is None:
+        device = jax.local_devices()[0]
+    stats = {}
+    try:
+        raw = device.memory_stats() or {}
+    except Exception:
+        raw = {}
+    for k in ("bytes_in_use", "bytes_limit", "peak_bytes_in_use"):
+        stats[k] = int(raw.get(k, 0))
+    return stats

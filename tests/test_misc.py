@@ -136,3 +136,23 @@ def test_testbed_sharpen_applied_on_set_training_image():
     tb.set_training_image(0, img)
     stored = tb.dataset.images[0]
     assert stored[1, 2, 0] > 1.0  # sharpened overshoot
+
+
+def test_renderer_stats_surface(tmp_path):
+    """stats() exposes fps/frame-ms/HBM/per-phase numbers (the headless
+    ImGui stats panel, nerf_mesh_renderer.cu:829-874)."""
+    import pynmr as nmr
+    from tests.helpers import write_test_snapshot
+    snap = tmp_path / "s.msgpack"
+    write_test_snapshot(snap)
+    r = nmr.NerfMeshRenderer(16, 12)
+    r.load_nerf(str(snap))
+    for n in r._nerfs:
+        n.march_overrides = {"max_rounds": 16}
+    r.profile = True
+    r.frame()
+    s = r.stats()
+    assert s["frame_count"] == 1 and s["n_nerfs"] == 1
+    assert s["frame_ms"] > 0.0
+    assert s["nerf_ms"] >= 0.0
+    assert set(s) >= {"fps", "hbm_bytes_in_use", "hbm_bytes_limit"}
