@@ -170,13 +170,21 @@ def main():
     frame_unbaked = fidelity_frame(renderer)
     fps_unbaked = time_orbit(renderer)
 
-    # the baked-sigma fast path (flagship): density from a trilinear grid,
+    # the baked-sigma fast path: density from the brick-packed grid,
     # the full network only at significant samples
     renderer2, nerf2 = make_renderer(snap)
     nerf2.bake(256)
     frame_baked = fidelity_frame(renderer2)
     fps_baked = time_orbit(renderer2)
     psnr_bake = psnr(frame_baked, frame_unbaked)
+
+    # flash mode (flagship candidate): coarse-pass ray init + deferred
+    # shading on top of the baked grid
+    nerf2.flash = True
+    frame_flash = fidelity_frame(renderer2)
+    fps_flash = time_orbit(renderer2)
+    psnr_flash = psnr(frame_flash, frame_unbaked)
+    nerf2.flash = False
 
     # golden gate: pin on first validated run, compare thereafter
     from PIL import Image
@@ -200,19 +208,30 @@ def main():
         renderer3, _ = make_renderer(snap_ref)
         fps_ref = time_orbit(renderer3, n_frames=3)
 
+    # headline = fastest path whose fidelity vs the exact render holds
+    # (35 dB internal gate, well inside BASELINE.md's 0.5 dB budget)
+    candidates = [("flash", fps_flash, psnr_flash),
+                  ("baked", fps_baked, psnr_bake),
+                  ("unbaked", fps_unbaked, 99.0)]
+    name, fps_head, _ = max(
+        (c for c in candidates if c[2] >= 35.0), key=lambda c: c[1])
+
     result = {
-        "metric": "hybrid_720p_fps (head NeRF + glasses.gltf, 1 chip, "
-                  "baked-sigma fast path)",
-        "value": round(fps_baked, 3),
+        "metric": f"hybrid_720p_fps (head NeRF + glasses.gltf, 1 chip, "
+                  f"{name} path)",
+        "value": round(fps_head, 3),
         "unit": "fps",
-        "vs_baseline": round(fps_baked / 30.0, 4),
+        "vs_baseline": round(fps_head / 30.0, 4),
         "extra": {
-            "frame_ms": round(1000.0 / fps_baked, 2),
-            "rays_per_sec": int(fps_baked * W * H),
+            "frame_ms": round(1000.0 / fps_head, 2),
+            "rays_per_sec": int(fps_head * W * H),
             "fps_unbaked": round(fps_unbaked, 3),
+            "fps_baked": round(fps_baked, 3),
+            "fps_flash": round(fps_flash, 3),
             "fps_ref_config_L16_T19": (round(fps_ref, 3)
                                        if fps_ref is not None else None),
             "psnr_baked_vs_unbaked_db": round(psnr_bake, 2),
+            "psnr_flash_vs_unbaked_db": round(psnr_flash, 2),
             "psnr_vs_golden_db": round(psnr_golden, 2),
             "resolution": f"{W}x{H}",
             "mesh_supersample": 2,

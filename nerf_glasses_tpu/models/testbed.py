@@ -182,6 +182,9 @@ class Testbed:
         # deferred shading for the baked fast path (one network eval per
         # ray at its max-weight sample; raymarch.MarchOptions.deferred_color)
         self.deferred_shading = False
+        # flash mode: deferred shading + low-res coarse-pass ray init
+        # (raymarch.MarchOptions.lowres_factor); fastest baked path
+        self.flash = False
 
         self._surface_rgba = None
         self._surface_t = None
@@ -335,6 +338,13 @@ class Testbed:
             kw["use_baked_sigma"] = True
             if getattr(self, "deferred_shading", False):
                 kw["deferred_color"] = True
+            if getattr(self, "flash", False):
+                # flash mode: deferred shading + coarse-pass ray init +
+                # a minimal per-epoch advance budget (the coarse pass
+                # already crossed the empty space)
+                kw["deferred_color"] = True
+                kw["lowres_factor"] = 8
+                kw["advance_iters"] = 8
         if getattr(self, "aperture_size", 0.0) > 0.0:
             # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
             kw["aperture_size"] = float(self.aperture_size)

@@ -96,6 +96,18 @@ class MarchOptions:
     # weight. Exact for a surface whose color is locally constant over
     # the crossing; the bench PSNR gate bounds the real deviation.
     deferred_color: bool = False
+    # Flash init: walk the occupancy grid at 1/lowres_factor resolution
+    # (one ray per FxF pixel block), min-filter the first-hit distances
+    # over a 3x3 low-res neighborhood minus a slack margin, and start
+    # every full-res ray there. Cuts the per-ray DDA probe gathers (the
+    # biggest remaining gather pool) to ~1/F^2. Rays whose entire 3x3
+    # low-res neighborhood sees no occupancy are declared dead — a
+    # floater smaller than ~2F px between low-res samples can be missed
+    # (the PSNR gate bounds this; remove_floaties kills real ones).
+    # 0 = off. Only active on the plain-camera frame path.
+    lowres_factor: int = 0
+    lowres_iters: int = 64
+    lowres_slack: float = 6.0 / 128.0
     # Vectorized rounds: with cone_angle == 0 the step size is constant,
     # so a round's K sample positions are t + i*dt — computable in one
     # vectorized shot (single batched occupancy probe, cumprod
@@ -363,6 +375,36 @@ def init_rays(scene, o3, d3, t_surface, surface_a, opts: MarchOptions,
     return t, t_start, alive
 
 
+def lowres_t_enter(scene, o3l, d3l, opts: MarchOptions):
+    """Walk rays to the first occupied voxel on occupancy gathers alone
+    -> (t (N,), hit (N,) bool). The flash-init coarse pass: one ray per
+    FxF pixel block; rays that neither hit nor exit within lowres_iters
+    report their current t with hit=True (conservative)."""
+    tmin, _ = ray_intersect_aabb_soa(o3l, d3l, scene["render_min"],
+                                     scene["render_max"])
+    t = jnp.maximum(tmin, 0.0) + 1e-6
+    alive = contains_aabb_soa(_at(o3l, d3l, t), scene["render_min"],
+                              scene["render_max"])
+    id3 = tuple(1.0 / d for d in d3l)
+
+    def body(_, carry):
+        t, alive, settled = carry
+        p3 = _at(o3l, d3l, t)
+        inside = _contains_local_soa(p3, scene)
+        dt = occ_ops.calc_dt(t, opts.cone_angle)
+        occ, adv = _skip_probe_soa(scene, p3, t, d3l, id3, dt, opts)
+        newly_exit = ~settled & alive & ~inside
+        newly_hit = ~settled & alive & inside & occ
+        alive = alive & ~newly_exit
+        settled = settled | newly_hit | ~alive
+        t = jnp.where(~settled & alive, adv, t)
+        return t, alive, settled
+
+    t, alive, _ = jax.lax.fori_loop(0, opts.lowres_iters, body,
+                                    (t, alive, ~alive))
+    return t, alive
+
+
 def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
     """o, d: (N,3); surface_rgba: (N,4). Builds the flat SoA state dict."""
     ox, oy, oz = _split3(o)
@@ -373,9 +415,20 @@ def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
                            (sr, sg, sb, sa), t_surface, opts, sample_index)
 
 
-def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index):
+def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
+                    t_floor=None, alive_mask=None):
     t0, t_start, alive0 = init_rays(scene, o3, d3, t_surface, surf4[3],
                                     opts, sample_index)
+    if t_floor is not None:
+        # flash init: start at the conservative coarse-pass first-hit
+        # distance; rays the coarse pass declared empty only survive via
+        # their mesh-surface payload (and jump straight to it — there is
+        # no NeRF content before t_surface for them)
+        has_surface = t_surface > 0.0
+        t0 = jnp.maximum(t0, jnp.where(alive_mask, t_floor,
+                                       jnp.where(has_surface, t_surface,
+                                                 t0)))
+        alive0 = alive0 & (alive_mask | has_surface)
     n = o3[0].shape[0]
     z = jnp.zeros((n,), jnp.float32)
     return {
@@ -805,7 +858,8 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
 
 def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
                     opts: MarchOptions, sample_index=0,
-                    chunk_raygen=None, has_surface: bool = True):
+                    chunk_raygen=None, has_surface: bool = True,
+                    t_floor=None, alive_mask=None):
     """SoA entry: o3/d3 = (x, y, z) tuples of (N,), surf4 = (r, g, b, a)
     tuple of (N,).
 
@@ -825,7 +879,8 @@ def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
         # compacted chunks only — the 16-iteration init walk over ALL
         # rays (dead ones included) measured ~130 ms/frame at 720p.
         opts = dataclasses.replace(opts, init_skip_iters=0)
-    st = _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index)
+    st = _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
+                         t_floor=t_floor, alive_mask=alive_mask)
 
     # Per-chunk state traffic: every key gathered/scattered is a separate
     # (CH,) gather/scatter op, and op count is what this machine bills
@@ -1115,6 +1170,45 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
         plain_cam = (lens_mode not in ("ftheta", "latlong", "opencv")
                      and not has_dist_grid and not shutter
                      and opts.aperture_size == 0.0)
+        t_floor = alive_mask = None
+        if plain_cam and opts.lowres_factor > 1:
+            # flash init: coarse occupancy walk (one ray per FxF block),
+            # 3x3 conservative min-filter, nearest upsample
+            F = opts.lowres_factor
+            Hl = (height + F - 1) // F
+            Wl = (width + F - 1) // F
+            lx = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
+            ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
+            ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
+            vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
+            ld3 = tuple(cam[i, 0] * ul + cam[i, 1] * vl + cam[i, 2]
+                        for i in range(3))
+            linv = 1.0 / jnp.sqrt(ld3[0] * ld3[0] + ld3[1] * ld3[1]
+                                  + ld3[2] * ld3[2])
+            ld3 = tuple((dc * linv).reshape(-1) for dc in ld3)
+            lo3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, (Hl * Wl,))
+                        for i in range(3))
+            t_l, hit_l = lowres_t_enter(scene, lo3, ld3, opts)
+            t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
+            # 3x3 min filter (edge-padded)
+            p = jnp.pad(t_img, 1, mode="edge")
+            tmin9 = t_img
+            for dy in range(3):
+                for dx in range(3):
+                    tmin9 = jnp.minimum(tmin9, p[dy:dy + Hl, dx:dx + Wl])
+            alive_img = jnp.isfinite(tmin9)
+            tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
+            # nearest upsample to full res
+            t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
+                              F, axis=1)[:, :width].reshape(-1)
+            a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],
+                              F, axis=1)[:, :width].reshape(-1)
+            if pad:
+                t_floor = jnp.concatenate([t_up, jnp.zeros((pad,))])
+                alive_mask = jnp.concatenate(
+                    [a_up, jnp.zeros((pad,), bool)])
+            else:
+                t_floor, alive_mask = t_up, a_up
         if plain_cam:
             # chunks recompute rays from pixel ids (~15 cheap vector ops)
             # instead of 6 per-chunk state gathers
@@ -1135,7 +1229,8 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
             chunk_raygen = None
         out = march_frame_soa(params, scene, o3, d3, surf4, tsurf, opts,
                               sample_index, chunk_raygen=chunk_raygen,
-                              has_surface=has_surface)
+                              has_surface=has_surface, t_floor=t_floor,
+                              alive_mask=alive_mask)
         rgba = out["rgba"][:npix].reshape(height, width, 4)
         depth = out["depth"][:npix].reshape(height, width)
         return _shade_frame(rgba, linear_colors), depth

@@ -64,3 +64,28 @@ def test_deferred_shading_close_to_baked(tmp_path):
     np.testing.assert_allclose(deferred[..., 3], full[..., 3], atol=1e-5)
     diff = np.abs(full[..., :3] - deferred[..., :3])
     assert float(diff.mean()) < 0.02, float(diff.mean())
+
+
+def test_flash_mode_matches_baked_on_opaque_sphere(tmp_path):
+    """Flash (coarse-pass init + deferred shading) stays close to the
+    plain baked render: the conservative t_enter floor must not clip the
+    sphere's front surface."""
+    from nerf_glasses_tpu.models.testbed import Testbed
+    from tests.helpers import write_test_snapshot, opaque_params
+    snap = tmp_path / "s.msgpack"
+    write_test_snapshot(snap, params=opaque_params(sigma_raw=6.0))
+    tb = Testbed()
+    tb.load_snapshot(str(snap))
+    tb.march_overrides = {"max_rounds": 64, "jitter": False}
+    tb.bake(128)
+    base = tb.render(64, 48, spp=1, linear=True)
+    tb.flash = True
+    tb.reset_accumulation()
+    flash = tb.render(64, 48, spp=1, linear=True)
+    assert np.isfinite(flash).all()
+    # the sphere is ~30 px wide; every interior pixel must still be
+    # opaque and depth-consistent
+    diff_a = np.abs(flash[..., 3] - base[..., 3])
+    assert float(diff_a.mean()) < 0.02, float(diff_a.mean())
+    diff = np.abs(flash[..., :3] - base[..., :3])
+    assert float(diff.mean()) < 0.03, float(diff.mean())
