@@ -340,11 +340,14 @@ class Testbed:
                 kw["deferred_color"] = True
             if getattr(self, "flash", False):
                 # flash mode: deferred shading + coarse-pass ray init +
-                # a minimal per-epoch advance budget (the coarse pass
-                # already crossed the empty space)
+                # vectorized 16-sample rounds (rays start parked at the
+                # surface, so per-sample DDA skipping buys nothing) + a
+                # minimal per-epoch advance budget
                 kw["deferred_color"] = True
                 kw["lowres_factor"] = 8
                 kw["advance_iters"] = 8
+                kw["vector_rounds"] = True
+                kw["steps_per_round"] = 16
         if getattr(self, "aperture_size", 0.0) > 0.0:
             # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
             kw["aperture_size"] = float(self.aperture_size)

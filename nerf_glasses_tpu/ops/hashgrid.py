@@ -89,72 +89,83 @@ def corner_indices_and_weights(pos, scale: float, resolution: int,
     return idx.astype(jnp.int32), weights
 
 
+def _uniform_fast_path(config: NGPConfig) -> bool:
+    """True when every level hashes into an equal power-of-2 table with
+    no dense levels (NGPConfig.native_fast / native_wide): the whole
+    encode then vectorizes over levels into 8 gathers TOTAL."""
+    if not config.all_hash:
+        return False
+    sizes = [p[1] for p in config.level_params()]
+    s0 = sizes[0]
+    return all(s == s0 for s in sizes) and (s0 & (s0 - 1)) == 0
+
+
 def hash_encode_soa(table: jnp.ndarray, px, py, pz, config: NGPConfig,
                     compute_dtype=jnp.float32) -> jnp.ndarray:
     """table: (L, S, W) uniform-padded; px/py/pz: (N,) components in [0,1]
     -> (N, L*F) features (level-major).
 
-    TPU layout note: positions stay as separate (N,) component arrays —
-    an (N, 3) array pads its last dim to 128 lanes on TPU, so every
-    elementwise op on it moves 42x the useful bytes. The 8 corners are
-    unrolled (8 gathers of (N,) indices per level); weighting happens on
-    the (N, W) gather output, which is fully lane-packed for wide rows.
-
+    Op count is what the TPU bills for (measured: a same-machine A/B of
+    8-unrolled-corner gathers per level vs one batched gather per level
+    was 24% of frame time). Two tiers:
+      - uniform power-of-2 hash levels: index math vectorized over
+        levels, ONE gather per corner across all levels -> 8 gathers
+        for the entire encode;
+      - mixed dense/hash (tcnn-compat): one batched (N*8)-row gather per
+        level, levels chained through optimization_barrier so XLA
+        schedules them sequentially (bounds gather temporaries).
     Per-level constants stay Python values so XLA strength-reduces the
-    `% hashmap_size` (a traced divisor compiles to real integer division
-    — 10x slower). Levels are chained through optimization_barrier so XLA
-    schedules them sequentially (otherwise all levels' gather temporaries
-    go live at once and large batches OOM)."""
+    `% hashmap_size` (a traced divisor compiles to integer division)."""
     L = config.n_levels
     F = config.n_features_per_level
     scales, res, sizes, dense = level_constants(config)
+    n = px.shape[0]
 
-    feats = []
-    for lvl in range(L):
-        scale = float(scales[lvl])
-        resolution = int(res[lvl])
-        hashmap_size = int(sizes[lvl])
-        fx0 = px * jnp.float32(scale) + 0.5
-        fy0 = py * jnp.float32(scale) + 0.5
-        fz0 = pz * jnp.float32(scale) + 0.5
-        gx = jnp.floor(fx0)
-        gy = jnp.floor(fy0)
-        gz = jnp.floor(fz0)
-        wx1 = (fx0 - gx).astype(compute_dtype)
-        wy1 = (fy0 - gy).astype(compute_dtype)
-        wz1 = (fz0 - gz).astype(compute_dtype)
-        wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+    if _uniform_fast_path(config):
+        S = int(sizes[0])
+        mask = jnp.uint32(S - 1)
+        sc = jnp.asarray(scales)[:, None]                   # (L, 1)
+        offs = (jnp.arange(L, dtype=jnp.int32) * S)[:, None]
+        fx = px[None] * sc + 0.5                            # (L, N)
+        fy = py[None] * sc + 0.5
+        fz = pz[None] * sc + 0.5
+        gx, gy, gz = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
+        wx1 = (fx - gx).astype(compute_dtype)
+        wy1 = (fy - gy).astype(compute_dtype)
+        wz1 = (fz - gz).astype(compute_dtype)
         ix = gx.astype(jnp.uint32)
         iy = gy.astype(jnp.uint32)
         iz = gz.astype(jnp.uint32)
-
-        tab_l = table[lvl]
+        flat = table.reshape(L * table.shape[1], table.shape[2])
         acc = None
         for c in range(8):
-            cx = ix + jnp.uint32(c & 1)
-            cy = iy + jnp.uint32((c >> 1) & 1)
-            cz = iz + jnp.uint32((c >> 2) & 1)
-            if bool(dense[lvl]):
-                idx = (cx + cy * jnp.uint32(resolution)
-                       + cz * jnp.uint32(resolution * resolution
-                                         & 0xFFFFFFFF))
-            else:
-                idx = (cx * jnp.uint32(C.HASH_PRIMES[0])
-                       ^ cy * jnp.uint32(C.HASH_PRIMES[1])
-                       ^ cz * jnp.uint32(C.HASH_PRIMES[2]))
-            if hashmap_size & (hashmap_size - 1) == 0:
-                idx = idx & jnp.uint32(hashmap_size - 1)
-            else:
-                idx = idx % jnp.uint32(hashmap_size)
-            w = ((wx1 if (c & 1) else wx0)
-                 * (wy1 if (c >> 1) & 1 else wy0)
-                 * (wz1 if (c >> 2) & 1 else wz0))
-            rows = jnp.take(tab_l, idx.astype(jnp.int32), axis=0)  # (N, W)
-            term = rows.astype(compute_dtype) * w[:, None]
+            hx = (ix + jnp.uint32(c & 1)) * jnp.uint32(C.HASH_PRIMES[0])
+            hy = (iy + jnp.uint32((c >> 1) & 1)) * jnp.uint32(C.HASH_PRIMES[1])
+            hz = (iz + jnp.uint32((c >> 2) & 1)) * jnp.uint32(C.HASH_PRIMES[2])
+            idx = ((hx ^ hy ^ hz) & mask).astype(jnp.int32) + offs  # (L, N)
+            rows = jnp.take(flat, idx.reshape(-1), axis=0)  # (L*N, W)
+            w = ((wx1 if (c & 1) else 1.0 - wx1)
+                 * (wy1 if (c >> 1) & 1 else 1.0 - wy1)
+                 * (wz1 if (c >> 2) & 1 else 1.0 - wz1))    # (L, N)
+            term = (rows.reshape(L, n, -1).astype(compute_dtype)
+                    * w[..., None])
             acc = term if acc is None else acc + term
-        feats.append(acc[:, :F])
+        # (L, N, F) -> (N, L*F) level-major
+        return acc[..., :F].transpose(1, 0, 2).reshape(n, L * F)
+
+    pos = jnp.stack([px, py, pz], axis=-1)
+    feats = []
+    for lvl in range(L):
+        idx, w = corner_indices_and_weights(
+            pos, float(scales[lvl]), int(res[lvl]), int(sizes[lvl]),
+            bool(dense[lvl]))
+        tab_l = table[lvl]
+        vals = jnp.take(tab_l, idx.reshape(-1), axis=0).reshape(n, 8, -1)
+        f = jnp.sum(vals.astype(compute_dtype)
+                    * w[..., None].astype(compute_dtype), axis=1)
+        feats.append(f[:, :F])
         if lvl + 1 < L:
-            px, = jax.lax.optimization_barrier((px + 0.0 * acc[0, 0],))
+            pos, = jax.lax.optimization_barrier((pos + 0.0 * f[0, 0],))
     return jnp.concatenate(feats, axis=-1)
 
 

@@ -551,7 +551,13 @@ def _march_round(st, params, scene, opts: MarchOptions):
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
         inside = _contains_local_soa(pk3, scene)
-        occ_k, _ = _occupied_soa(scene, pk3, jnp.full((K, n), dt_c), opts)
+        if opts.use_baked_sigma:
+            # the baked grid is itself ~zero in unoccupied space — skip
+            # the per-sample occupancy gather entirely
+            occ_k = True
+        else:
+            occ_k, _ = _occupied_soa(scene, pk3, jnp.full((K, n), dt_c),
+                                     opts)
         samples = {"dt": jnp.full((K, n), dt_c),
                    "valid": inside & occ_k & ~surf_block,
                    "t_sample": t_i}
