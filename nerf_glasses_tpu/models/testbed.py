@@ -388,7 +388,8 @@ class Testbed:
             raise ValueError("baking currently supports aabb_scale == 1")
         from nerf_glasses_tpu.ops.bake import (bake_density_grid,
                                                pack_sigma_bricks)
-        grid = bake_density_grid(self.params, self.config, resolution)
+        grid = bake_density_grid(self.params, self.config, resolution,
+                                 occ=self.occ)
         # brick-packed layout: one 512B-row gather per trilinear sample
         self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
         self.reset_accumulation()

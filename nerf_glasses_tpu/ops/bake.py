@@ -31,9 +31,15 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
 
 
 def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
-                      batch: int = 1 << 18) -> jnp.ndarray:
+                      batch: int = 1 << 18, occ=None) -> jnp.ndarray:
     """Evaluate activated density at cell centers of a resolution^3 grid
-    over the unit cube -> (R, R, R) float32 [z, y, x]."""
+    over the unit cube -> (R, R, R) float32 [z, y, x].
+
+    When `occ` ((8, G, G, G) or (G, G, G) occupancy) is given, the grid
+    is zeroed outside the (1-voxel-dilated) occupied region: the network
+    emits junk density in space the occupancy grid culls, and render
+    paths that trust the baked grid for emptiness (flash/vector rounds)
+    would otherwise composite it as fog."""
     R = resolution
     g = (np.arange(R, dtype=np.float32) + 0.5) / R
     zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
@@ -44,7 +50,22 @@ def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
     out = []
     for s in range(0, pos.shape[0], batch):
         out.append(fn(params, jnp.asarray(pos[s:s + batch])))
-    return jnp.concatenate(out).reshape(R, R, R)
+    grid = jnp.concatenate(out).reshape(R, R, R)
+    if occ is not None:
+        o = np.asarray(occ)
+        if o.ndim == 4:
+            o = o[0]
+        m = o > 0
+        # 3^3 max-pool dilation keeps boundary trilinear corners alive
+        md = m.copy()
+        for axis in range(3):
+            md = (md | np.roll(md, 1, axis) | np.roll(md, -1, axis))
+        G = m.shape[0]
+        # nearest-neighbor resample of the (dilated) mask to R^3
+        i = np.minimum((np.arange(R) * G) // R, G - 1)
+        up = md[np.ix_(i, i, i)]
+        grid = grid * jnp.asarray(up.astype(np.float32))
+    return grid
 
 
 def pack_sigma_bricks(sigma_grid: np.ndarray) -> jnp.ndarray:

@@ -89,69 +89,27 @@ def corner_indices_and_weights(pos, scale: float, resolution: int,
     return idx.astype(jnp.int32), weights
 
 
-def _uniform_fast_path(config: NGPConfig) -> bool:
-    """True when every level hashes into an equal power-of-2 table with
-    no dense levels (NGPConfig.native_fast / native_wide): the whole
-    encode then vectorizes over levels into 8 gathers TOTAL."""
-    if not config.all_hash:
-        return False
-    sizes = [p[1] for p in config.level_params()]
-    s0 = sizes[0]
-    return all(s == s0 for s in sizes) and (s0 & (s0 - 1)) == 0
-
-
 def hash_encode_soa(table: jnp.ndarray, px, py, pz, config: NGPConfig,
                     compute_dtype=jnp.float32) -> jnp.ndarray:
     """table: (L, S, W) uniform-padded; px/py/pz: (N,) components in [0,1]
     -> (N, L*F) features (level-major).
 
-    Op count is what the TPU bills for (measured: a same-machine A/B of
-    8-unrolled-corner gathers per level vs one batched gather per level
-    was 24% of frame time). Two tiers:
-      - uniform power-of-2 hash levels: index math vectorized over
-        levels, ONE gather per corner across all levels -> 8 gathers
-        for the entire encode;
-      - mixed dense/hash (tcnn-compat): one batched (N*8)-row gather per
-        level, levels chained through optimization_barrier so XLA
-        schedules them sequentially (bounds gather temporaries).
+    One batched (N*8)-row gather per level — measured fastest on v5e by
+    a wide margin (tools/profile_encode.py): per-level takes from a
+    small table run at ~450M rows/s (the per-level table fits VMEM),
+    3-7x the rate of both an 8-unrolled-corner formulation (64 small
+    gather ops; op overhead dominates) and a levels-fused single-gather
+    formulation (one huge take from the concatenated table; ~1/4 the
+    row rate regardless of output orientation).
+
     Per-level constants stay Python values so XLA strength-reduces the
-    `% hashmap_size` (a traced divisor compiles to integer division)."""
+    `% hashmap_size` (a traced divisor compiles to real integer
+    division); levels are chained through optimization_barrier so XLA
+    schedules them sequentially (bounds gather temporaries at large N)."""
     L = config.n_levels
     F = config.n_features_per_level
     scales, res, sizes, dense = level_constants(config)
     n = px.shape[0]
-
-    if _uniform_fast_path(config):
-        S = int(sizes[0])
-        mask = jnp.uint32(S - 1)
-        sc = jnp.asarray(scales)[:, None]                   # (L, 1)
-        offs = (jnp.arange(L, dtype=jnp.int32) * S)[:, None]
-        fx = px[None] * sc + 0.5                            # (L, N)
-        fy = py[None] * sc + 0.5
-        fz = pz[None] * sc + 0.5
-        gx, gy, gz = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
-        wx1 = (fx - gx).astype(compute_dtype)
-        wy1 = (fy - gy).astype(compute_dtype)
-        wz1 = (fz - gz).astype(compute_dtype)
-        ix = gx.astype(jnp.uint32)
-        iy = gy.astype(jnp.uint32)
-        iz = gz.astype(jnp.uint32)
-        flat = table.reshape(L * table.shape[1], table.shape[2])
-        acc = None
-        for c in range(8):
-            hx = (ix + jnp.uint32(c & 1)) * jnp.uint32(C.HASH_PRIMES[0])
-            hy = (iy + jnp.uint32((c >> 1) & 1)) * jnp.uint32(C.HASH_PRIMES[1])
-            hz = (iz + jnp.uint32((c >> 2) & 1)) * jnp.uint32(C.HASH_PRIMES[2])
-            idx = ((hx ^ hy ^ hz) & mask).astype(jnp.int32) + offs  # (L, N)
-            rows = jnp.take(flat, idx.reshape(-1), axis=0)  # (L*N, W)
-            w = ((wx1 if (c & 1) else 1.0 - wx1)
-                 * (wy1 if (c >> 1) & 1 else 1.0 - wy1)
-                 * (wz1 if (c >> 2) & 1 else 1.0 - wz1))    # (L, N)
-            term = (rows.reshape(L, n, -1).astype(compute_dtype)
-                    * w[..., None])
-            acc = term if acc is None else acc + term
-        # (L, N, F) -> (N, L*F) level-major
-        return acc[..., :F].transpose(1, 0, 2).reshape(n, L * F)
 
     pos = jnp.stack([px, py, pz], axis=-1)
     feats = []
