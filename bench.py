@@ -186,6 +186,17 @@ def main():
     psnr_flash = psnr(frame_flash, frame_unbaked)
     nerf2.flash = False
 
+    # flash WITHOUT deferred shading: coarse-pass init + vector rounds,
+    # color still per-sample via significance compaction
+    saved_overrides = dict(nerf2.march_overrides)
+    nerf2.march_overrides = {**saved_overrides, "lowres_factor": 8,
+                             "advance_iters": 8, "vector_rounds": True,
+                             "steps_per_round": 16}
+    frame_fsig = fidelity_frame(renderer2)
+    fps_fsig = time_orbit(renderer2)
+    psnr_fsig = psnr(frame_fsig, frame_unbaked)
+    nerf2.march_overrides = saved_overrides
+
     # golden gate: pin on first validated run, compare thereafter
     from PIL import Image
     g8 = np.clip(frame_unbaked * 255.0, 0, 255).astype(np.uint8)
@@ -211,6 +222,7 @@ def main():
     # headline = fastest path whose fidelity vs the exact render holds
     # (35 dB internal gate, well inside BASELINE.md's 0.5 dB budget)
     candidates = [("flash", fps_flash, psnr_flash),
+                  ("flash_sigcolor", fps_fsig, psnr_fsig),
                   ("baked", fps_baked, psnr_bake),
                   ("unbaked", fps_unbaked, 99.0)]
     name, fps_head, _ = max(
@@ -228,6 +240,8 @@ def main():
             "fps_unbaked": round(fps_unbaked, 3),
             "fps_baked": round(fps_baked, 3),
             "fps_flash": round(fps_flash, 3),
+            "fps_flash_sigcolor": round(fps_fsig, 3),
+            "psnr_flash_sigcolor_vs_unbaked_db": round(psnr_fsig, 2),
             "fps_ref_config_L16_T19": (round(fps_ref, 3)
                                        if fps_ref is not None else None),
             "psnr_baked_vs_unbaked_db": round(psnr_bake, 2),

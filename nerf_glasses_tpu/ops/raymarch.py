@@ -51,14 +51,11 @@ import numpy as np
 from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
-from nerf_glasses_tpu.ops.bake import (sample_sigma_bricks,
-                                       sample_sigma_bricks_soa)
+from nerf_glasses_tpu.ops.bake import sample_sigma_bricks
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
-                                          apply_network, apply_network_soa,
+                                          apply_network,
                                           apply_rgb_activation)
-from nerf_glasses_tpu.utils.bbox import (contains_aabb, contains_aabb_soa,
-                                         ray_intersect_aabb,
-                                         ray_intersect_aabb_soa)
+from nerf_glasses_tpu.utils.bbox import contains_aabb, ray_intersect_aabb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,25 +86,6 @@ class MarchOptions:
     use_baked_sigma: bool = False
     sig_threshold: float = 1e-3
     color_subchunk: int = 1 << 12
-    # Deferred shading (SNeRG-style): the march composites weights from
-    # the baked sigma alone (ZERO network evals in the march loop); one
-    # network eval per surviving ray at its max-weight sample happens in
-    # a compacted pass at the end, scaled by the ray's accumulated NeRF
-    # weight. Exact for a surface whose color is locally constant over
-    # the crossing; the bench PSNR gate bounds the real deviation.
-    deferred_color: bool = False
-    # Flash init: walk the occupancy grid at 1/lowres_factor resolution
-    # (one ray per FxF pixel block), min-filter the first-hit distances
-    # over a 3x3 low-res neighborhood minus a slack margin, and start
-    # every full-res ray there. Cuts the per-ray DDA probe gathers (the
-    # biggest remaining gather pool) to ~1/F^2. Rays whose entire 3x3
-    # low-res neighborhood sees no occupancy are declared dead — a
-    # floater smaller than ~2F px between low-res samples can be missed
-    # (the PSNR gate bounds this; remove_floaties kills real ones).
-    # 0 = off. Only active on the plain-camera frame path.
-    lowres_factor: int = 0
-    lowres_iters: int = 64
-    lowres_slack: float = 6.0 / 128.0
     # Vectorized rounds: with cone_angle == 0 the step size is constant,
     # so a round's K sample positions are t + i*dt — computable in one
     # vectorized shot (single batched occupancy probe, cumprod
@@ -126,6 +104,24 @@ class MarchOptions:
     # camera plane, re-aiming each ray at its focus_z plane point
     aperture_size: float = 0.0
     focus_z: float = 1.0
+    # Deferred shading (SNeRG-style): the march composites weights from
+    # the baked sigma alone (ZERO network evals in the march loop); one
+    # network eval per surviving ray at its max-weight sample happens in
+    # a compacted pass at the end, scaled by the ray's accumulated NeRF
+    # weight. Exact for a surface whose color is locally constant over
+    # the crossing; the bench PSNR gate bounds the real deviation.
+    deferred_color: bool = False
+    # Flash init: walk the occupancy grid at 1/lowres_factor resolution
+    # (one ray per FxF pixel block), min-filter the first-hit distances
+    # over a 3x3 low-res neighborhood minus a slack margin, and start
+    # every full-res ray there. Cuts the per-ray DDA probe gathers to
+    # ~1/F^2. Rays whose entire 3x3 low-res neighborhood sees no
+    # occupancy are declared dead — a floater smaller than ~2F px
+    # between low-res samples can be missed (the PSNR gate bounds this;
+    # remove_floaties kills real ones). 0 = off; plain-camera path only.
+    lowres_factor: int = 0
+    lowres_iters: int = 64
+    lowres_slack: float = 6.0 / 128.0
 
     @property
     def cdtype(self):
@@ -252,32 +248,12 @@ def _read_image2(grid, uv):
             + w[..., :1] * w[..., 1:] * at(1, 1))
 
 
-# ---------------------------------------------------------------------------
-# SoA (component-array) helpers. TPU layout rule driving this file: an
-# (N, 3) or (N, 4) array pads its last dim to 128 lanes, so every
-# elementwise op on it moves ~42x the useful bytes. All per-ray vector
-# state is therefore kept as separate (N,) component arrays ("p3"/"d3"
-# = (x, y, z) tuples); (H, W)-shaped and (K, N)-shaped arrays are fully
-# lane-packed and fine.
-# ---------------------------------------------------------------------------
-
-def _split3(a):
-    return a[..., 0], a[..., 1], a[..., 2]
+def _contains_local(pos, scene):
+    local_pos = pos @ scene["local"].T
+    return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
 
 
-def _at(o3, d3, t):
-    """Ray point components at parameter t."""
-    return tuple(o + d * t for o, d in zip(o3, d3))
-
-
-def _contains_local_soa(p3, scene):
-    M = scene["local"]
-    lp = tuple(M[i, 0] * p3[0] + M[i, 1] * p3[1] + M[i, 2] * p3[2]
-               for i in range(3))
-    return contains_aabb_soa(lp, scene["render_min"], scene["render_max"])
-
-
-def _skip_probe_soa(scene, p3, t, d3, id3, dt, opts: MarchOptions):
+def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
     """One-gather DDA probe -> (occupied, t_advanced).
 
     On single-cascade scenes the jump grid gives both the occupancy bit
@@ -286,49 +262,45 @@ def _skip_probe_soa(scene, p3, t, d3, id3, dt, opts: MarchOptions):
     16 voxels) instead of one fine voxel. Multi-cascade scenes fall back
     to the per-mip probe."""
     if opts.config.max_cascade == 0 and opts.min_mip == 0 and "skip" in scene:
-        lv = occ_ops.skip_level_at_soa(scene["skip"], *p3)
+        lv = occ_ops.skip_level_at(scene["skip"], pos)
         occ = lv == 255
         res = (C.NERF_GRIDSIZE >> jnp.minimum(lv, 4).astype(jnp.int32)
                ).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3,
-                                                id3, res)
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                            idir, res)
         return occ, adv
-    occ, mip = _occupied_soa(scene, p3, dt, opts)
+    occ, mip = _occupied(scene, pos, dt, opts)
     res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-    adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3, id3,
-                                            res)
+    adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d, idir, res)
     return occ, adv
 
 
-def _occupied_soa(scene, p3, dt, opts: MarchOptions):
+def _occupied(scene, pos, dt, opts: MarchOptions):
     if opts.config.max_cascade == 0 and opts.min_mip == 0:
         # unit-cube scene (the reference default): single cascade, no
         # mip math needed
-        mip = jnp.zeros(p3[0].shape, jnp.int32)
+        mip = jnp.zeros(pos.shape[:-1], jnp.int32)
     else:
-        mip = occ_ops.mip_from_dt_soa(dt, *p3,
-                                      max_cascade=opts.config.max_cascade)
+        mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
         mip = jnp.maximum(mip, opts.min_mip)
-    return occ_ops.occupied_at_soa(scene["occ"], *p3, mip=mip), mip
+    return occ_ops.occupied_at(scene["occ"], pos, mip), mip
 
 
 # ---------------------------------------------------------------------------
 # Ray init (init_rays_with_payload + advance_pos_nerf)
 # ---------------------------------------------------------------------------
 
-def init_rays(scene, o3, d3, t_surface, surface_a, opts: MarchOptions,
+def init_rays(scene, o, d, t_surface, surface_a, opts: MarchOptions,
               sample_index=0, ray_idx: Optional[jnp.ndarray] = None):
-    """o3, d3: (x, y, z) tuples of (N,) origin components (already in NGP
-    space, +0.5 shifted) and unit dir components.
+    """o, d: (N,3) origin (already in NGP space, +0.5 shifted) and unit dir.
 
     Returns (t, t_start, alive).
     """
-    n = o3[0].shape[0]
-    tmin, _ = ray_intersect_aabb_soa(o3, d3, scene["render_min"],
-                                     scene["render_max"])
+    n = o.shape[0]
+    tmin, _ = ray_intersect_aabb(o, d, scene["render_min"], scene["render_max"])
     t = jnp.maximum(tmin, 0.0) + 1e-6
-    alive = contains_aabb_soa(_at(o3, d3, t), scene["render_min"],
-                              scene["render_max"])
+    alive = contains_aabb(o + d * t[:, None], scene["render_min"],
+                          scene["render_max"])
 
     # surface revive (advance_pos_nerf, testbed.cu:487-493)
     has_surface = t_surface > 0.0
@@ -343,16 +315,16 @@ def init_rays(scene, o3, d3, t_surface, surface_a, opts: MarchOptions,
         jit01 = _hash_u32(ray_idx * jnp.uint32(786433) + seed)
         t = t + jit01 * occ_ops.calc_dt(t, opts.cone_angle)
 
-    id3 = tuple(1.0 / d for d in d3)
+    idir = 1.0 / d
 
     # empty-space skip to the first occupied voxel (bounded DDA)
     def body(_, carry):
         t, alive, settled = carry
-        p3 = _at(o3, d3, t)
+        pos = o + d * t[:, None]
         at_surface = has_surface & (t > t_surface)
-        inside = _contains_local_soa(p3, scene)
+        inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
+        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
 
         newly_surface = ~settled & alive & at_surface
         newly_exit = ~settled & alive & ~at_surface & ~inside
@@ -368,31 +340,30 @@ def init_rays(scene, o3, d3, t_surface, surface_a, opts: MarchOptions,
     t, alive, _ = jax.lax.fori_loop(0, opts.init_skip_iters, body,
                                     (t, alive, settled0))
 
-    p3 = _at(o3, d3, t)
-    in_mip0 = occ_ops.mip_from_pos_soa(*p3,
-                                       max_cascade=opts.config.max_cascade) == 0
+    pos_t = o + d * t[:, None]
+    in_mip0 = occ_ops.mip_from_pos(pos_t, opts.config.max_cascade) == 0
     t_start = jnp.where(in_mip0, t, 0.0)
     return t, t_start, alive
 
 
-def lowres_t_enter(scene, o3l, d3l, opts: MarchOptions):
+def lowres_t_enter(scene, o, d, opts: MarchOptions):
     """Walk rays to the first occupied voxel on occupancy gathers alone
     -> (t (N,), hit (N,) bool). The flash-init coarse pass: one ray per
     FxF pixel block; rays that neither hit nor exit within lowres_iters
     report their current t with hit=True (conservative)."""
-    tmin, _ = ray_intersect_aabb_soa(o3l, d3l, scene["render_min"],
-                                     scene["render_max"])
+    tmin, _ = ray_intersect_aabb(o, d, scene["render_min"],
+                                 scene["render_max"])
     t = jnp.maximum(tmin, 0.0) + 1e-6
-    alive = contains_aabb_soa(_at(o3l, d3l, t), scene["render_min"],
-                              scene["render_max"])
-    id3 = tuple(1.0 / d for d in d3l)
+    alive = contains_aabb(o + d * t[:, None], scene["render_min"],
+                          scene["render_max"])
+    idir = 1.0 / d
 
     def body(_, carry):
         t, alive, settled = carry
-        p3 = _at(o3l, d3l, t)
-        inside = _contains_local_soa(p3, scene)
+        pos = o + d * t[:, None]
+        inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, adv = _skip_probe_soa(scene, p3, t, d3l, id3, dt, opts)
+        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         newly_exit = ~settled & alive & ~inside
         newly_hit = ~settled & alive & inside & occ
         alive = alive & ~newly_exit
@@ -405,20 +376,11 @@ def lowres_t_enter(scene, o3l, d3l, opts: MarchOptions):
     return t, alive
 
 
-def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index):
-    """o, d: (N,3); surface_rgba: (N,4). Builds the flat SoA state dict."""
-    ox, oy, oz = _split3(o)
-    dx, dy, dz = _split3(d)
-    sr, sg, sb, sa = (surface_rgba[:, 0], surface_rgba[:, 1],
-                      surface_rgba[:, 2], surface_rgba[:, 3])
-    return _make_state_soa(scene, (ox, oy, oz), (dx, dy, dz),
-                           (sr, sg, sb, sa), t_surface, opts, sample_index)
-
-
-def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
-                    t_floor=None, alive_mask=None):
-    t0, t_start, alive0 = init_rays(scene, o3, d3, t_surface, surf4[3],
-                                    opts, sample_index)
+def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index,
+                t_floor=None, alive_mask=None):
+    t0, t_start, alive0 = init_rays(scene, o, d, t_surface,
+                                    surface_rgba[:, 3], opts, sample_index)
+    n = o.shape[0]
     if t_floor is not None:
         # flash init: start at the conservative coarse-pass first-hit
         # distance; rays the coarse pass declared empty only survive via
@@ -429,23 +391,20 @@ def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
                                        jnp.where(has_surface, t_surface,
                                                  t0)))
         alive0 = alive0 & (alive_mask | has_surface)
-    n = o3[0].shape[0]
-    z = jnp.zeros((n,), jnp.float32)
     return {
         # per-ray constants (ride along so compaction can gather them)
-        "ox": o3[0], "oy": o3[1], "oz": o3[2],
-        "dx": d3[0], "dy": d3[1], "dz": d3[2],
-        "sr": surf4[0], "sg": surf4[1], "sb": surf4[2], "sa": surf4[3],
-        "t_surf": t_surface, "t_start": t_start,
+        "o": o, "d": d, "surf": surface_rgba, "t_surf": t_surface,
+        "t_start": t_start,
         # mutable march state
         "t": t0,
-        "cr": z, "cg": z, "cb": z, "ca": z,
-        "depth": z, "max_weight": z,
+        "rgba": jnp.zeros((n, 4), jnp.float32),
+        "depth": jnp.zeros((n,), jnp.float32),
+        "max_weight": jnp.zeros((n,), jnp.float32),
         "alive": alive0,
-        "surf_a": jnp.where(alive0, surf4[3], 0.0),
+        "surf_a": jnp.where(alive0, surface_rgba[:, 3], 0.0),
         # NeRF-only weight sum (excludes surface blend weight), used by
         # the deferred shading pass; dead weight otherwise
-        "wn": z,
+        "wn": jnp.zeros((n,), jnp.float32),
     }
 
 
@@ -458,9 +417,8 @@ def _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
 # ---------------------------------------------------------------------------
 
 def _advance_pass(st, scene, opts: MarchOptions, iters: int):
-    o3 = (st["ox"], st["oy"], st["oz"])
-    d3 = (st["dx"], st["dy"], st["dz"])
-    id3 = tuple(1.0 / d for d in d3)
+    o, d = st["o"], st["d"]
+    idir = 1.0 / d
     t_surface = st["t_surf"]
     has_surface = t_surface > 0.0
 
@@ -469,11 +427,11 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
     def body(_, carry):
         t, alive, settled = carry
         active = ~settled & alive
-        p3 = _at(o3, d3, t)
+        pos = o + d * t[:, None]
         surf_pending = surf_live & (t >= t_surface)
-        inside = _contains_local_soa(p3, scene)
+        inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t - st["t_start"], opts.cone_angle)
-        occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
+        occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
         # exit, stop at occupancy
         newly_park = active & (surf_pending | (~inside & surf_live))
@@ -497,19 +455,17 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
 def _march_round(st, params, scene, opts: MarchOptions):
     """Generate up to K samples per ray, evaluate the network, composite.
     Returns the updated state dict. Semantics per composite_kernel_nerf —
-    see module docstring. All per-ray state is SoA component arrays; the
-    K-sample batches are (K, n) arrays (lane-packed)."""
+    see module docstring."""
     cfg = opts.config
     K = opts.steps_per_round
-    o3 = (st["ox"], st["oy"], st["oz"])
-    d3 = (st["dx"], st["dy"], st["dz"])
-    n = o3[0].shape[0]
-    id3 = tuple(1.0 / d for d in d3)
+    o, d = st["o"], st["d"]
+    n = o.shape[0]
+    idir = 1.0 / d
     t_surface = st["t_surf"]
+    surface_rgba = st["surf"]
     t_start = st["t_start"]
     has_surface = t_surface > 0.0
-    tmin3 = scene["train_min"]
-    text3 = scene["train_max"] - scene["train_min"]
+    train_extent = scene["train_max"] - scene["train_min"]
 
     def gen_step(carry, _):
         t, gen_alive, surf_a = carry
@@ -517,11 +473,11 @@ def _march_round(st, params, scene, opts: MarchOptions):
         def skip_body(_, sk):
             t, status = sk
             active = status == 0
-            p3 = _at(o3, d3, t)
+            pos = o + d * t[:, None]
             surf_stop = has_surface & (t > t_surface) & (surf_a >= 1.0)
-            inside = _contains_local_soa(p3, scene)
+            inside = _contains_local(pos, scene)
             dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
-            occ, adv = _skip_probe_soa(scene, p3, t, d3, id3, dt, opts)
+            occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
             new_status = jnp.where(
                 surf_stop, 3, jnp.where(~inside, 2, jnp.where(occ, 1, 0)))
             status = jnp.where(active, new_status, status)
@@ -533,13 +489,14 @@ def _march_round(st, params, scene, opts: MarchOptions):
                                       (t, status0))
 
         found = status == 1
+        pos = o + d * t[:, None]
         dt = occ_ops.calc_dt(t - t_start, opts.cone_angle)
         exited = status == 2
         surf_stopped = status == 3
 
         t_out = jnp.where(found, t + dt, jnp.where(surf_stopped, t_surface, t))
         gen_alive = gen_alive & (found | (status == 0))
-        sample = {"dt": dt, "valid": found, "t_sample": t}
+        sample = {"pos": pos, "dt": dt, "valid": found, "t_sample": t}
         return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
 
     t_round_start = st["t"]
@@ -547,18 +504,20 @@ def _march_round(st, params, scene, opts: MarchOptions):
         # constant-dt fast path: all K sample positions in one shot
         dt_c = occ_ops.calc_dt(jnp.zeros(()), 0.0)
         t_i = st["t"][None] + dt_c * jnp.arange(K, dtype=jnp.float32)[:, None]
-        pk3 = tuple(o[None] + dc[None] * t_i for o, dc in zip(o3, d3))
+        pos_k = o[None] + d[None] * t_i[..., None]               # (K, n, 3)
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
-        inside = _contains_local_soa(pk3, scene)
+        inside = _contains_local(pos_k.reshape(-1, 3), scene).reshape(K, n)
         if opts.use_baked_sigma:
-            # the baked grid is itself ~zero in unoccupied space — skip
-            # the per-sample occupancy gather entirely
+            # the baked grid is occupancy-masked and ~zero in empty
+            # space — skip the per-sample occupancy gather entirely
             occ_k = True
         else:
-            occ_k, _ = _occupied_soa(scene, pk3, jnp.full((K, n), dt_c),
-                                     opts)
-        samples = {"dt": jnp.full((K, n), dt_c),
+            occ_k, _ = _occupied(scene, pos_k.reshape(-1, 3),
+                                 jnp.full((K * n,), dt_c), opts)
+            occ_k = occ_k.reshape(K, n)
+        samples = {"pos": pos_k,
+                   "dt": jnp.full((K, n), dt_c),
                    "valid": inside & occ_k & ~surf_block,
                    "t_sample": t_i}
         surf_stopped = surf_block.any(axis=0) & st["alive"]
@@ -574,43 +533,41 @@ def _march_round(st, params, scene, opts: MarchOptions):
     terminated_early = exited | surf_stopped
 
     # --- network evaluation on the (n*K) masked batch --------------------
-    t_k = samples["t_sample"]                     # (K, n)
+    pos = samples["pos"]                          # (K, n, 3)
     valid = samples["valid"] & st["alive"][None]  # (K, n)
-    p01k3 = tuple(
-        jnp.where(valid, (o[None] + dc[None] * t_k - tmin3[i]) / text3[i],
-                  0.5)
-        for i, (o, dc) in enumerate(zip(o3, d3)))
-    d01_3 = tuple((dc + 1.0) * 0.5 for dc in d3)          # (n,) each
+    pos01 = (pos - scene["train_min"]) / train_extent
+    pos01 = jnp.where(valid[..., None], pos01, 0.5)
+    dir01 = (d + 1.0) * 0.5
+    dir01_k = jnp.broadcast_to(dir01[None], (K,) + dir01.shape)
 
     # --- composite setup (surface blend must precede weight estimates) ---
-    cr, cg, cb, ca = st["cr"], st["cg"], st["cb"], st["ca"]
+    rgba = st["rgba"]
     comp_alive = st["alive"]
     surf_a = st["surf_a"]
-    sr, sg, sb, sa = st["sr"], st["sg"], st["sb"], st["sa"]
 
     # in-march surface blend: fires once, before the round's samples, for
     # rays whose payload-t has crossed t_surface (testbed.cu:843-857)
     t_payload = jnp.where(exited, t_round_start,
                           jnp.where(surf_stopped, t_surface, t_end))
     trigger = comp_alive & has_surface & (t_payload > t_surface) & (surf_a > 0.0)
-    wsurf = jnp.where(trigger, surf_a * (1.0 - ca), 0.0)
-    cr = cr + sr * wsurf
-    cg = cg + sg * wsurf
-    cb = cb + sb * wsurf
-    ca = ca + wsurf
+    T = 1.0 - rgba[:, 3]
+    blend = jnp.concatenate(
+        [surface_rgba[:, :3] * (surf_a * T)[:, None], (surf_a * T)[:, None]],
+        -1)
+    rgba = jnp.where(trigger[:, None], rgba + blend, rgba)
     surf_a = jnp.where(trigger, 0.0, surf_a)
-    sat = trigger & (ca > 0.99)
-    inv_sat = jnp.where(sat, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
-    cr, cg, cb, ca = cr * inv_sat, cg * inv_sat, cb * inv_sat, ca * inv_sat
+    sat = trigger & (rgba[:, 3] > 0.99)
+    inv_sat = jnp.where(sat, 1.0 / jnp.maximum(rgba[:, 3], 1e-9), 1.0)
+    rgba = rgba * inv_sat[:, None]
     wn = st["wn"] * inv_sat if opts.deferred_color else st["wn"]
     comp_alive = comp_alive & ~sat
 
     if opts.use_baked_sigma:
-        sigma = sample_sigma_bricks_soa(scene["sigma"], *p01k3)  # (K, n)
+        sigma = sample_sigma_bricks(scene["sigma"], pos01)     # (K, n)
         alpha_k = jnp.where(valid, 1.0 - jnp.exp(-sigma * samples["dt"]),
                             0.0)
         # prospective weights: alpha * current T * exclusive transmittance
-        T0 = jnp.where(comp_alive, 1.0 - ca, 0.0)               # (n,)
+        T0 = jnp.where(comp_alive, 1.0 - rgba[:, 3], 0.0)       # (n,)
         cum = jnp.concatenate(
             [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_k, axis=0)[:-1]], 0)
         w_prosp = alpha_k * T0[None] * cum
@@ -619,8 +576,7 @@ def _march_round(st, params, scene, opts: MarchOptions):
         if opts.deferred_color:
             # no color in the march: weights composite against black and
             # the deferred pass adds each ray's color at the end
-            zk = jnp.zeros((K, n))
-            r_s, g_s, b_s = zk, zk, zk
+            rgb_s = jnp.zeros((K, n, 3))
         else:
             flat_sig = sig.reshape(-1)
             total = K * n
@@ -633,40 +589,27 @@ def _march_round(st, params, scene, opts: MarchOptions):
 
             SUB = min(opts.color_subchunk, total)
             n_sub = (n_sig + SUB - 1) // SUB
-            pf3 = tuple(p.reshape(-1) for p in p01k3)
-            df3 = tuple(jnp.broadcast_to(dc[None], (K, n)).reshape(-1)
-                        for dc in d01_3)
-            rflat = jnp.zeros((total,))
-            gflat = jnp.zeros((total,))
-            bflat = jnp.zeros((total,))
+            pos_flat = pos01.reshape(-1, 3)
+            dir_flat = dir01_k.reshape(-1, 3)
+            rgb_flat = jnp.zeros((total, 3))
 
-            def sub_body(i, carry):
-                rflat, gflat, bflat = carry
+            def sub_body(i, rgb_flat):
                 sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
-                rgb_raw, _ = apply_network_soa(
-                    params, pf3[0][sel], pf3[1][sel], pf3[2][sel],
-                    df3[0][sel], df3[1][sel], df3[2][sel], cfg,
-                    compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
+                rgb_raw, _ = apply_network(
+                    params, pos_flat[sel], dir_flat[sel], cfg,
+                    compute_dtype=opts.cdtype,
+                    extra=scene.get("extra_dims"))
                 rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-                return (rflat.at[sel].set(rgb_sel[:, 0]),
-                        gflat.at[sel].set(rgb_sel[:, 1]),
-                        bflat.at[sel].set(rgb_sel[:, 2]))
+                return rgb_flat.at[sel].set(rgb_sel)
 
-            rflat, gflat, bflat = jax.lax.fori_loop(
-                0, n_sub, sub_body, (rflat, gflat, bflat))
-            r_s = rflat.reshape(K, n)
-            g_s = gflat.reshape(K, n)
-            b_s = bflat.reshape(K, n)
+            rgb_flat = jax.lax.fori_loop(0, n_sub, sub_body, rgb_flat)
+            rgb_s = rgb_flat.reshape(K, n, 3)
     else:
-        rgb_raw, sigma_raw = apply_network_soa(
-            params, *(p.reshape(-1) for p in p01k3),
-            *(jnp.broadcast_to(dc[None], (K, n)).reshape(-1)
-              for dc in d01_3), config=cfg,
+        rgb_raw, sigma_raw = apply_network(
+            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
             compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
-        rgb_act = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-        r_s = rgb_act[:, 0].reshape(K, n)
-        g_s = rgb_act[:, 1].reshape(K, n)
-        b_s = rgb_act[:, 2].reshape(K, n)
+        rgb_s = apply_rgb_activation(rgb_raw.reshape(K, n, 3),
+                                     cfg.rgb_activation)
         sigma = apply_density_activation(sigma_raw.reshape(K, n),
                                          cfg.density_activation)
         alpha_k = 1.0 - jnp.exp(-sigma * samples["dt"])   # (K, n)
@@ -678,77 +621,70 @@ def _march_round(st, params, scene, opts: MarchOptions):
         # pushes accumulated alpha past 1 - min_transmittance)
         use = comp_alive[None] & valid                         # (K, n)
         alpha_u = jnp.where(use, alpha_k, 0.0)
-        T0 = 1.0 - ca                                          # (n,)
+        T0 = 1.0 - rgba[:, 3]                                  # (n,)
         texcl = jnp.concatenate(
             [jnp.ones((1, n)), jnp.cumprod(1.0 - alpha_u, axis=0)[:-1]], 0)
         w_all = alpha_u * T0[None] * texcl                     # (K, n)
-        a_cum = ca[None] + jnp.cumsum(w_all, axis=0)
+        a_cum = rgba[:, 3][None] + jnp.cumsum(w_all, axis=0)
         done_k = use & (a_cum > 1.0 - opts.min_transmittance)
         # samples after the first 'done' are never composited
         blocked = jnp.concatenate(
             [jnp.zeros((1, n), bool), jnp.cumsum(done_k, axis=0)[:-1] > 0], 0)
         w = jnp.where(blocked, 0.0, w_all)
-        wsum = jnp.sum(w, axis=0)
-        cr = cr + jnp.sum(w * r_s, axis=0)
-        cg = cg + jnp.sum(w * g_s, axis=0)
-        cb = cb + jnp.sum(w * b_s, axis=0)
-        ca = ca + wsum
+        rgba = rgba + jnp.concatenate(
+            [jnp.sum(w[..., None] * rgb_s, axis=0),
+             jnp.sum(w, axis=0, keepdims=True).T], axis=-1)
         if opts.deferred_color:
-            wn = wn + wsum
+            wn = wn + jnp.sum(w, axis=0)
         # depth = distance of the round's max-weight sample if it beats
         # the carried max (first occurrence, matching the sequential >)
         w_max = jnp.max(w, axis=0)
         w_arg = jnp.argmax(w, axis=0)
-        t_at = jnp.take_along_axis(t_k, w_arg[None], 0)[0]
+        t_at = jnp.take_along_axis(samples["t_sample"], w_arg[None], 0)[0]
         upd = w_max > st["max_weight"]
         max_w = jnp.where(upd, w_max, st["max_weight"])
         depth = jnp.where(upd, t_at, st["depth"])
         saturated = (done_k & ~blocked).any(axis=0)
-        inv = jnp.where(saturated, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
-        cr, cg, cb, ca = cr * inv, cg * inv, cb * inv, ca * inv
+        inv = jnp.where(saturated, 1.0 / jnp.maximum(rgba[:, 3], 1e-9), 1.0)
+        rgba = rgba * inv[:, None]
         if opts.deferred_color:
             wn = wn * inv
         comp_alive = comp_alive & ~saturated
     else:
         def comp_step(carry, inp):
-            cr, cg, cb, ca, wn, depth, max_w, comp_alive = carry
-            s_valid, alpha, rs, gs, bs, t_sample = inp
+            rgba, wn, depth, max_w, comp_alive = carry
+            s_valid, alpha, rgb, t_sample = inp
             use = comp_alive & s_valid
-            w = jnp.where(use, alpha * (1.0 - ca), 0.0)
-            cr = cr + rs * w
-            cg = cg + gs * w
-            cb = cb + bs * w
-            ca = ca + w
+            T = 1.0 - rgba[:, 3]
+            w = jnp.where(use, alpha * T, 0.0)
+            rgba = rgba + jnp.concatenate([rgb * w[:, None], w[:, None]],
+                                          axis=-1)
             if opts.deferred_color:
                 wn = wn + w
+            done = use & (rgba[:, 3] > 1.0 - opts.min_transmittance)
             upd = w > max_w
             max_w = jnp.where(upd, w, max_w)
             depth = jnp.where(upd & use, t_sample, depth)
-            done = use & (ca > 1.0 - opts.min_transmittance)
-            inv = jnp.where(done, 1.0 / jnp.maximum(ca, 1e-9), 1.0)
-            cr, cg, cb, ca = cr * inv, cg * inv, cb * inv, ca * inv
+            inv = jnp.where(done, 1.0 / jnp.maximum(rgba[:, 3], 1e-9), 1.0)
+            rgba = rgba * inv[:, None]
             if opts.deferred_color:
                 wn = wn * inv
             comp_alive = comp_alive & ~done
-            return (cr, cg, cb, ca, wn, depth, max_w, comp_alive), None
+            return (rgba, wn, depth, max_w, comp_alive), None
 
-        (cr, cg, cb, ca, wn, depth, max_w, comp_alive), _ = jax.lax.scan(
+        (rgba, wn, depth, max_w, comp_alive), _ = jax.lax.scan(
             comp_step,
-            (cr, cg, cb, ca, wn, st["depth"], st["max_weight"], comp_alive),
-            (valid, alpha_k, r_s, g_s, b_s, t_k))
+            (rgba, wn, st["depth"], st["max_weight"], comp_alive),
+            (valid, alpha_k, rgb_s, samples["t_sample"]))
 
     # final surface blend for terminated rays (testbed.cu:886-897)
     fin = comp_alive & terminated_early & (surf_a > 0.0)
-    rem = jnp.where(fin, 1.0 - ca, 0.0)
-    cr = cr + sr * rem
-    cg = cg + sg * rem
-    cb = cb + sb * rem
-    ca = ca + sa * rem
+    rem = 1.0 - rgba[:, 3:4]
+    rgba = jnp.where(fin[:, None], rgba + surface_rgba * rem, rgba)
     comp_alive = comp_alive & ~terminated_early
 
-    return {**st, "t": t_end, "cr": cr, "cg": cg, "cb": cb, "ca": ca,
-            "wn": wn, "depth": depth, "max_weight": max_w,
-            "alive": comp_alive, "surf_a": surf_a}
+    return {**st, "t": t_end, "rgba": rgba, "wn": wn, "depth": depth,
+            "max_weight": max_w, "alive": comp_alive, "surf_a": surf_a}
 
 
 def _deferred_shade(st, params, scene, opts: MarchOptions):
@@ -769,45 +705,36 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
 
     CH = min(opts.chunk, n)
     n_chunks = (n_sig + CH - 1) // CH
-    tmin3 = scene["train_min"]
-    text3 = scene["train_max"] - scene["train_min"]
+    extent = scene["train_max"] - scene["train_min"]
 
-    def body(i, carry):
-        cr, cg, cb = carry
+    def body(i, rgba):
         idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
+        o = st["o"][idx]
+        d = st["d"][idx]
         t = st["depth"][idx]
-        p01 = []
-        d01 = []
-        for k, (ok, dk) in enumerate((("ox", "dx"), ("oy", "dy"),
-                                      ("oz", "dz"))):
-            oc = st[ok][idx]
-            dc = st[dk][idx]
-            p01.append(jnp.clip((oc + dc * t - tmin3[k]) / text3[k],
-                                0.0, 1.0))
-            d01.append((dc + 1.0) * 0.5)
-        rgb_raw, _ = apply_network_soa(
-            params, p01[0], p01[1], p01[2], d01[0], d01[1], d01[2], cfg,
-            compute_dtype=opts.cdtype, extra=scene.get("extra_dims"))
+        pos01 = jnp.clip((o + d * t[:, None] - scene["train_min"])
+                         / extent, 0.0, 1.0)
+        dir01 = (d + 1.0) * 0.5
+        rgb_raw, _ = apply_network(params, pos01, dir01, cfg,
+                                   compute_dtype=opts.cdtype,
+                                   extra=scene.get("extra_dims"))
         rgb = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
-        wsel = wn[idx]
-        return (cr.at[idx].add(rgb[:, 0] * wsel),
-                cg.at[idx].add(rgb[:, 1] * wsel),
-                cb.at[idx].add(rgb[:, 2] * wsel))
+        add = jnp.concatenate(
+            [rgb * wn[idx][:, None], jnp.zeros((CH, 1))], axis=-1)
+        return rgba.at[idx].add(add)
 
-    cr, cg, cb = jax.lax.fori_loop(
-        0, n_chunks, body, (st["cr"], st["cg"], st["cb"]))
-    return {**st, "cr": cr, "cg": cg, "cb": cb}
+    rgba = jax.lax.fori_loop(0, n_chunks, body, st["rgba"])
+    return {**st, "rgba": rgba}
 
 
 def _finalize(st):
-    keep = st["ca"] > 0.001   # compact_kernel_nerf's w>0.001 filter
-    comps = [jnp.where(keep, c, 0.0)
-             for c in (st["cr"], st["cg"], st["cb"], st["ca"])]
-    rgba = jnp.stack(comps, axis=-1)
+    rgba = st["rgba"]
+    keep = rgba[:, 3] > 0.001   # compact_kernel_nerf's w>0.001 filter
+    rgba = jnp.where(keep[:, None], rgba, 0.0)
     # depth written only when the splat alpha exceeds 0.2, else the
     # buffer keeps its cleared value 0 (shade_kernel_nerf,
     # testbed.cu:927-929; clear_frame memsets depth to 0)
-    depth = jnp.where(comps[3] > 0.2, st["depth"], 0.0)
+    depth = jnp.where(rgba[:, 3] > 0.2, st["depth"], 0.0)
     return {"rgba": rgba, "depth": depth}
 
 
@@ -821,10 +748,6 @@ def march_rays(params, scene, o, d, surface_rgba, t_surface,
     """March one tile of rays to completion (masked while_loop)."""
     st = _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index)
     st["round"] = jnp.int32(0)
-    return _march_rays_from_state(st, params, scene, opts)
-
-
-def _march_rays_from_state(st, params, scene, opts: MarchOptions):
 
     def cond(st):
         return jnp.any(st["alive"]) & (st["round"] < opts.max_rounds)
@@ -845,10 +768,8 @@ def _march_rays_from_state(st, params, scene, opts: MarchOptions):
 # Frame API: single dispatch with on-device ray compaction
 # ---------------------------------------------------------------------------
 
-_MUTABLE = ("t", "cr", "cg", "cb", "ca", "depth", "max_weight", "alive",
-            "surf_a")
-_CONST = ("ox", "oy", "oz", "dx", "dy", "dz", "sr", "sg", "sb", "sa",
-          "t_surf", "t_start")
+_MUTABLE = ("t", "rgba", "depth", "max_weight", "alive", "surf_a")
+_CONST = ("o", "d", "surf", "t_surf", "t_start")
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -856,26 +777,24 @@ def march_frame(params, scene, o, d, surface_rgba, t_surface,
                 opts: MarchOptions, sample_index=0):
     """March a whole frame in ONE dispatch with periodic on-device
     compaction. N must be a multiple of opts.chunk."""
-    sr, sg, sb, sa = (surface_rgba[:, 0], surface_rgba[:, 1],
-                      surface_rgba[:, 2], surface_rgba[:, 3])
-    return march_frame_soa(params, scene, _split3(o), _split3(d),
-                           (sr, sg, sb, sa), t_surface, opts, sample_index)
+    return march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
+                            opts, sample_index)
 
 
-def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
-                    opts: MarchOptions, sample_index=0,
-                    chunk_raygen=None, has_surface: bool = True,
-                    t_floor=None, alive_mask=None):
-    """SoA entry: o3/d3 = (x, y, z) tuples of (N,), surf4 = (r, g, b, a)
-    tuple of (N,).
+def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
+                     opts: MarchOptions, sample_index=0,
+                     chunk_raygen=None, has_surface: bool = True,
+                     t_floor=None, alive_mask=None):
+    """march_frame body (callable from inside a larger jit).
 
-    chunk_raygen: optional closure (ray_idx (CH,) int32) -> (o3, d3)
-    that recomputes ray origins/dirs from ray ids — saves 6 of the
-    per-chunk state gathers for camera-generated rays (the frame path).
-    has_surface=False additionally binds the surface payload to zeros
-    inside each chunk instead of gathering/scattering it.
+    chunk_raygen: optional closure (ray_idx (CH,) int32) -> (o (CH,3),
+    d (CH,3)) recomputing rays from pixel ids — replaces two per-chunk
+    state gathers for camera-generated rays. has_surface=False binds the
+    surface payload to zeros inside each chunk instead of gathering it.
+    t_floor/alive_mask: flash-init coarse-pass results (see
+    MarchOptions.lowres_factor).
     """
-    n = o3[0].shape[0]
+    n = o.shape[0]
     CH = opts.chunk
     assert n % CH == 0, (n, CH)
     cone0 = opts.cone_angle == 0.0
@@ -885,29 +804,29 @@ def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
         # compacted chunks only — the 16-iteration init walk over ALL
         # rays (dead ones included) measured ~130 ms/frame at 720p.
         opts = dataclasses.replace(opts, init_skip_iters=0)
-    st = _make_state_soa(scene, o3, d3, surf4, t_surface, opts, sample_index,
-                         t_floor=t_floor, alive_mask=alive_mask)
+    st = _make_state(scene, o, d, surface_rgba, t_surface, opts,
+                     sample_index, t_floor=t_floor, alive_mask=alive_mask)
 
     # Per-chunk state traffic: every key gathered/scattered is a separate
-    # (CH,) gather/scatter op, and op count is what this machine bills
-    # for. Keys that are recomputable (o/d via chunk_raygen), constant
-    # (surface payload when has_surface=False; t_start when cone==0 — it
-    # only feeds calc_dt(t - t_start), constant dt), or positional
-    # (alive: the partition puts alive rays first) skip the round trip.
-    gather_keys = ["t", "cr", "cg", "cb", "ca", "depth", "max_weight"]
+    # gather/scatter op, and op count is what the TPU bills for. Keys
+    # that are recomputable (o/d via chunk_raygen), constant (surface
+    # payload when has_surface=False; t_start when cone==0 — it only
+    # feeds calc_dt(t - t_start), constant dt), or positional (alive:
+    # the partition puts alive rays first) skip the round trip.
+    gather_keys = ["t", "rgba", "depth", "max_weight"]
     zero_keys = []
     if has_surface:
-        gather_keys += ["surf_a", "t_surf", "sr", "sg", "sb", "sa"]
+        gather_keys += ["surf_a", "t_surf", "surf"]
     else:
-        zero_keys += ["surf_a", "t_surf", "sr", "sg", "sb", "sa"]
+        zero_keys += ["surf_a", "t_surf"]
     if cone0:
         zero_keys += ["t_start"]
     else:
         gather_keys += ["t_start"]
     if chunk_raygen is None:
-        gather_keys += ["ox", "oy", "oz", "dx", "dy", "dz"]
-    scatter_keys = ["t", "cr", "cg", "cb", "ca", "depth", "max_weight",
-                    "alive"] + (["surf_a"] if has_surface else [])
+        gather_keys += ["o", "d"]
+    scatter_keys = ["t", "rgba", "depth", "max_weight", "alive"] \
+        + (["surf_a"] if has_surface else [])
     if opts.deferred_color:
         gather_keys += ["wn"]
         scatter_keys += ["wn"]
@@ -941,10 +860,10 @@ def march_frame_soa(params, scene, o3, d3, surf4, t_surface,
             z = jnp.zeros((CH,), jnp.float32)
             for k in zero_keys:
                 sub[k] = z
+            if not has_surface:
+                sub["surf"] = jnp.zeros((CH, 4), jnp.float32)
             if chunk_raygen is not None:
-                co3, cd3 = chunk_raygen(idx)
-                sub["ox"], sub["oy"], sub["oz"] = co3
-                sub["dx"], sub["dy"], sub["dz"] = cd3
+                sub["o"], sub["d"] = chunk_raygen(idx)
             sub["alive"] = (i * CH + jnp.arange(CH, dtype=jnp.int32)
                             ) < n_alive
             # cross empty space on occupancy lookups alone, then spend
@@ -982,30 +901,27 @@ def collide_march(params, scene, o, d, opts: MarchOptions):
     -> distances (N,), 0 where no collision."""
     n = o.shape[0]
     cfg = opts.config
-    o3 = _split3(o)
-    d3 = tuple(jnp.broadcast_to(d[i], (n,)) for i in range(3))
-    id3 = tuple(1.0 / dc for dc in d3)
-    tmin3 = scene["train_min"]
-    text3 = scene["train_max"] - scene["train_min"]
+    dv = jnp.broadcast_to(d, (n, 3))
+    idir = 1.0 / dv
+    train_extent = scene["train_max"] - scene["train_min"]
 
     def body(st):
         t, dist, alive, it = st
-        p3 = _at(o3, d3, t)
-        inside = _contains_local_soa(p3, scene)
+        pos = o + dv * t[:, None]
+        inside = _contains_local(pos, scene)
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        occ, mip = _occupied_soa(scene, p3, dt, opts)
+        occ, mip = _occupied(scene, pos, dt, opts)
         res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-        adv = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3, d3,
-                                                id3, res)
-        p01 = tuple(jnp.clip((p - tmin3[i]) / text3[i], 0.0, 1.0)
-                    for i, p in enumerate(p3))
-        from nerf_glasses_tpu.ops.network import density_raw_soa
-        sigma_raw = density_raw_soa(params, *p01, config=cfg,
-                                    compute_dtype=opts.cdtype)[:, 0]
+        adv = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, dv,
+                                            idir, res)
+        pos01 = jnp.clip((pos - scene["train_min"]) / train_extent, 0.0, 1.0)
+        from nerf_glasses_tpu.ops.network import density_raw
+        sigma_raw = density_raw(params, pos01, cfg,
+                                compute_dtype=opts.cdtype)[:, 0]
         sigma = apply_density_activation(sigma_raw, cfg.density_activation)
         alpha = 1.0 - jnp.exp(-sigma * dt)
         hit = alive & inside & occ & (alpha > 0.0)
-        dist = jnp.where(hit, t, dist)
+        dist = jnp.where(hit, jnp.linalg.norm(pos - o, axis=-1), dist)
         alive = alive & inside & ~hit
         t = jnp.where(alive & ~occ, adv, jnp.where(alive, t + dt, t))
         return t, dist, alive, it + 1
@@ -1090,89 +1006,67 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
             oy = pix_offset[1]
         u = (px + ox) / width
         v = (py + oy) / height
+        uv = jnp.stack([u, v], axis=-1)
 
-        # camera-space direction components (H, W) — lane-packed SoA
         if lens_mode == "ftheta":
-            uv = jnp.stack([u, v], axis=-1)
             dir_cam = _f_theta_dirs(uv - 0.5, lens_params)
-            cx, cy, cz = (dir_cam[..., 0], dir_cam[..., 1], dir_cam[..., 2])
         elif lens_mode == "latlong":
-            uv = jnp.stack([u, v], axis=-1)
             dir_cam = _latlong_dirs(uv)
-            cx, cy, cz = (dir_cam[..., 0], dir_cam[..., 1], dir_cam[..., 2])
         else:
-            cx = u * 2.0 - 1.0
-            cy = v * 2.0 - 1.0
+            x = u * 2.0 - 1.0
+            y = v * 2.0 - 1.0
             if lens_mode == "opencv":
-                cx, cy = _opencv_undistort(cx, cy, lens_params)
-            cz = jnp.ones((height, width))
+                x, y = _opencv_undistort(x, y, lens_params)
+            dir_cam = jnp.stack([x, y, jnp.ones((height, width))], axis=-1)
         if has_dist_grid:
-            uv = jnp.stack([u, v], axis=-1)
-            dg = _read_image2(dist_grid, uv)
-            cx = cx + dg[..., 0]
-            cy = cy + dg[..., 1]
-        cx = cx.reshape(-1)
-        cy = cy.reshape(-1)
-        cz = cz.reshape(-1)
+            dir_cam = dir_cam.at[..., :2].add(_read_image2(dist_grid, uv))
+        dir_cam = dir_cam.reshape(-1, 3)
 
         if shutter:
             pix = jnp.arange(npix, dtype=jnp.uint32)
             rnd = _hash_u32(pix * jnp.uint32(72239731)
                             + jnp.asarray(sample_index).astype(jnp.uint32)
                             * jnp.uint32(2654435761))
-            rt = (rshut[0] + rshut[1] * u.reshape(-1)
-                  + rshut[2] * v.reshape(-1) + rshut[3] * rnd)
-
-            def lerp(i, j):
-                return cam[i, j] * rt + cam_end[i, j] * (1.0 - rt)
-
-            d3 = tuple(lerp(i, 0) * cx + lerp(i, 1) * cy + lerp(i, 2) * cz
-                       for i in range(3))
-            o3 = tuple(lerp(i, 3) + 0.5 for i in range(3))
+            ray_time = (rshut[0] + rshut[1] * u.reshape(-1)
+                        + rshut[2] * v.reshape(-1) + rshut[3] * rnd)
+            rt = ray_time[:, None, None]
+            cam_px = cam[None] * rt + cam_end[None] * (1.0 - rt)  # (N,3,4)
+            d = jnp.einsum("nij,nj->ni", cam_px[:, :, :3], dir_cam)
+            o = cam_px[:, :, 3] + 0.5
         else:
-            d3 = tuple(cam[i, 0] * cx + cam[i, 1] * cy + cam[i, 2] * cz
-                       for i in range(3))
-            o3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, (npix,))
-                       for i in range(3))
+            d = dir_cam @ cam[:, :3].T
+            o = jnp.broadcast_to(cam[:, 3] + 0.5, d.shape)
         if opts.aperture_size > 0.0:
             # square -> Shirley disk of per-pixel low-discrepancy values
             pix = jnp.arange(npix, dtype=jnp.uint32)
-            ua = _hash_u32(pix * jnp.uint32(2654435761)
-                           + jnp.uint32(sample_index)) * 2.0 - 1.0
-            va = _hash_u32(pix * jnp.uint32(805459861)
-                           + jnp.uint32(sample_index * 9781 + 1)) * 2.0 - 1.0
-            r = jnp.where(jnp.abs(ua) > jnp.abs(va), ua, va)
+            u = _hash_u32(pix * jnp.uint32(2654435761)
+                          + jnp.uint32(sample_index)) * 2.0 - 1.0
+            v = _hash_u32(pix * jnp.uint32(805459861)
+                          + jnp.uint32(sample_index * 9781 + 1)) * 2.0 - 1.0
+            r = jnp.where(jnp.abs(u) > jnp.abs(v), u, v)
             phi = jnp.where(
-                jnp.abs(ua) > jnp.abs(va), (jnp.pi / 4.0) * (va / jnp.where(
-                    ua == 0.0, 1.0, ua)),
-                (jnp.pi / 2.0) - (jnp.pi / 4.0) * (ua / jnp.where(
-                    va == 0.0, 1.0, va)))
-            bu = opts.aperture_size * r * jnp.cos(phi)
-            bv = opts.aperture_size * r * jnp.sin(phi)
-            look3 = tuple(o + d * opts.focus_z for o, d in zip(o3, d3))
-            o3 = tuple(o + bu * cam[i, 0] + bv * cam[i, 1]
-                       for i, o in enumerate(o3))
-            d3 = tuple((lk - o) / opts.focus_z for lk, o in zip(look3, o3))
-        inv_norm = 1.0 / jnp.sqrt(d3[0] * d3[0] + d3[1] * d3[1]
-                                  + d3[2] * d3[2])
-        d3 = tuple(d * inv_norm for d in d3)
+                jnp.abs(u) > jnp.abs(v), (jnp.pi / 4.0) * (v / jnp.where(
+                    u == 0.0, 1.0, u)),
+                (jnp.pi / 2.0) - (jnp.pi / 4.0) * (u / jnp.where(
+                    v == 0.0, 1.0, v)))
+            blur = opts.aperture_size * jnp.stack(
+                [r * jnp.cos(phi), r * jnp.sin(phi)], -1)        # (N, 2)
+            lookat = o + d * opts.focus_z
+            o = o + blur[:, :1] * cam[:, 0] + blur[:, 1:2] * cam[:, 1]
+            d = (lookat - o) / opts.focus_z
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         if has_surface:
             surf = surface_rgba.reshape(npix, 4)
-            surf4 = (surf[:, 0], surf[:, 1], surf[:, 2], surf[:, 3])
             tsurf = t_surface.reshape(npix)
         else:
-            z = jnp.zeros((npix,))
-            surf4 = (z, z, z, z)
+            surf = jnp.zeros((npix, 4))
             tsurf = jnp.zeros((npix,))
         if pad:
-            def padded(a):
-                return jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad,))])
+            o = jnp.concatenate([o, jnp.broadcast_to(o[-1], (pad, 3))])
+            d = jnp.concatenate([d, jnp.broadcast_to(d[-1], (pad, 3))])
+            surf = jnp.concatenate([surf, jnp.zeros((pad, 4))])
+            tsurf = jnp.concatenate([tsurf, jnp.zeros((pad,))])
 
-            o3 = tuple(padded(a) for a in o3)
-            d3 = tuple(padded(a) for a in d3)
-            zp = jnp.zeros((pad,))
-            surf4 = tuple(jnp.concatenate([a, zp]) for a in surf4)
-            tsurf = jnp.concatenate([tsurf, zp])
         plain_cam = (lens_mode not in ("ftheta", "latlong", "opencv")
                      and not has_dist_grid and not shutter
                      and opts.aperture_size == 0.0)
@@ -1187,21 +1081,18 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
             ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
             ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
             vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
-            ld3 = tuple(cam[i, 0] * ul + cam[i, 1] * vl + cam[i, 2]
-                        for i in range(3))
-            linv = 1.0 / jnp.sqrt(ld3[0] * ld3[0] + ld3[1] * ld3[1]
-                                  + ld3[2] * ld3[2])
-            ld3 = tuple((dc * linv).reshape(-1) for dc in ld3)
-            lo3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, (Hl * Wl,))
-                        for i in range(3))
-            t_l, hit_l = lowres_t_enter(scene, lo3, ld3, opts)
+            ndc = jnp.stack([ul, vl, jnp.ones((Hl, Wl))], -1).reshape(-1, 3)
+            ld = ndc @ cam[:, :3].T
+            ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+            lo = jnp.broadcast_to(cam[:, 3] + 0.5, ld.shape)
+            t_l, hit_l = lowres_t_enter(scene, lo, ld, opts)
             t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
             # 3x3 min filter (edge-padded)
-            p = jnp.pad(t_img, 1, mode="edge")
+            p9 = jnp.pad(t_img, 1, mode="edge")
             tmin9 = t_img
             for dy in range(3):
                 for dx in range(3):
-                    tmin9 = jnp.minimum(tmin9, p[dy:dy + Hl, dx:dx + Wl])
+                    tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
             alive_img = jnp.isfinite(tmin9)
             tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
             # nearest upsample to full res
@@ -1215,28 +1106,26 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
                     [a_up, jnp.zeros((pad,), bool)])
             else:
                 t_floor, alive_mask = t_up, a_up
+
         if plain_cam:
-            # chunks recompute rays from pixel ids (~15 cheap vector ops)
-            # instead of 6 per-chunk state gathers
+            # chunks recompute rays from pixel ids (~8 cheap vector ops)
+            # instead of two per-chunk state gathers
             def chunk_raygen(idx):
                 fx = (jnp.remainder(idx, width).astype(jnp.float32) + ox) \
                     / width * 2.0 - 1.0
                 fy = ((idx // width).astype(jnp.float32) + oy) \
                     / height * 2.0 - 1.0
-                cd3 = tuple(cam[i, 0] * fx + cam[i, 1] * fy + cam[i, 2]
-                            for i in range(3))
-                inv = 1.0 / jnp.sqrt(cd3[0] * cd3[0] + cd3[1] * cd3[1]
-                                     + cd3[2] * cd3[2])
-                cd3 = tuple(dc * inv for dc in cd3)
-                co3 = tuple(jnp.broadcast_to(cam[i, 3] + 0.5, idx.shape)
-                            for i in range(3))
-                return co3, cd3
+                ndc_c = jnp.stack([fx, fy, jnp.ones_like(fx)], axis=-1)
+                dc = ndc_c @ cam[:, :3].T
+                dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+                oc = jnp.broadcast_to(cam[:, 3] + 0.5, dc.shape)
+                return oc, dc
         else:
             chunk_raygen = None
-        out = march_frame_soa(params, scene, o3, d3, surf4, tsurf, opts,
-                              sample_index, chunk_raygen=chunk_raygen,
-                              has_surface=has_surface, t_floor=t_floor,
-                              alive_mask=alive_mask)
+        out = march_frame_impl(params, scene, o, d, surf, tsurf, opts,
+                               sample_index, chunk_raygen=chunk_raygen,
+                               has_surface=has_surface, t_floor=t_floor,
+                               alive_mask=alive_mask)
         rgba = out["rgba"][:npix].reshape(height, width, 4)
         depth = out["depth"][:npix].reshape(height, width)
         return _shade_frame(rgba, linear_colors), depth

@@ -370,15 +370,13 @@ def march_training_samples(occ, o, d, rng, opts: TrainOptions,
     other camera ever samples). Sampling resolution sharpens
     automatically as the occupancy grid culls empty space.
     """
-    from nerf_glasses_tpu.utils.bbox import ray_intersect_aabb_soa
+    from nerf_glasses_tpu.utils.bbox import ray_intersect_aabb
 
     B = o.shape[0]
     S = opts.samples_per_ray
     H = opts.march_hops
-    o3 = (o[:, 0], o[:, 1], o[:, 2])
-    d3 = (d[:, 0], d[:, 1], d[:, 2])
-    id3 = tuple(1.0 / dc for dc in d3)
-    tmin, tmax = ray_intersect_aabb_soa(o3, d3, aabb_min, aabb_max)
+    idir = 1.0 / d
+    tmin, tmax = ray_intersect_aabb(o, d, aabb_min, aabb_max)
     t0 = jnp.maximum(tmin, 0.0) + 1e-6
     span = jnp.maximum(tmax - t0, 0.0)
     # Hop granularity: fine enough to resolve mip-0 voxels once the
@@ -388,13 +386,13 @@ def march_training_samples(occ, o, d, rng, opts: TrainOptions,
 
     def hop(t, _):
         alive = t < tmax
-        p3 = tuple(oc + dc * t for oc, dc in zip(o3, d3))
+        pos = o + d * t[:, None]
         dt = occ_ops.calc_dt(t, opts.cone_angle)
-        mip = occ_ops.mip_from_dt_soa(dt, *p3, max_cascade=max_cascade)
-        occp = occ_ops.occupied_at_soa(occ, *p3, mip=mip) & alive
+        mip = occ_ops.mip_from_dt(dt, pos, max_cascade)
+        occp = occ_ops.occupied_at(occ, pos, mip) & alive
         res = (C.NERF_GRIDSIZE >> mip).astype(jnp.float32)
-        t_skip = occ_ops.advance_to_next_voxel_soa(t, opts.cone_angle, p3,
-                                                   d3, id3, res)
+        t_skip = occ_ops.advance_to_next_voxel(t, opts.cone_angle, pos, d,
+                                               idir, res)
         seg = jnp.where(occp, jnp.minimum(stride, tmax - t), 0.0)
         t_next = jnp.where(occp, t + seg, jnp.maximum(t_skip, t + 1e-6))
         return jnp.where(alive, t_next, t), (t, seg)
@@ -427,43 +425,29 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
     cfg = opts.config
     S, B = samples["dt"].shape
     extent = aabb_max - aabb_min
-    t_s = samples["t"]
-    valid = samples["valid"]
-    # SoA layout: positions as (S, B) component arrays (an (S, B, 3)
-    # array pads its last dim to 128 lanes on TPU — 42x the bytes)
-    from nerf_glasses_tpu.ops.network import apply_network_soa
-    p01k3 = tuple(
-        jnp.where(valid,
-                  (o[:, i][None] + d[:, i][None] * t_s - aabb_min[i])
-                  / extent[i], 0.5)
-        for i in range(3))
-    d01_3 = tuple(
-        jnp.broadcast_to(((d[:, i] + 1.0) * 0.5)[None], (S, B)).reshape(-1)
-        for i in range(3))
+    pos = o[None] + d[None] * samples["t"][..., None]
+    pos01 = (pos - aabb_min) / extent
+    pos01 = jnp.where(samples["valid"][..., None], pos01, 0.5)
+    dir01 = (d + 1.0) * 0.5
+    dir01_k = jnp.broadcast_to(dir01[None], (S,) + dir01.shape)
     if extra is not None:
         extra = jnp.broadcast_to(extra[None], (S,) + extra.shape
                                  ).reshape(S * B, -1)
-    rgb_raw, sigma_raw = apply_network_soa(
-        params, *(p.reshape(-1) for p in p01k3), *d01_3, config=cfg,
+    rgb_raw, sigma_raw = apply_network(
+        params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
         compute_dtype=opts.cdtype, extra=extra)
-    r_s = rgb_raw[:, 0].reshape(S, B)
-    g_s = rgb_raw[:, 1].reshape(S, B)
-    b_s = rgb_raw[:, 2].reshape(S, B)
-    r_s, g_s, b_s = (apply_rgb_activation(c, cfg.rgb_activation)
-                     for c in (r_s, g_s, b_s))
+    rgb = apply_rgb_activation(rgb_raw.reshape(S, B, 3), cfg.rgb_activation)
     sigma = apply_density_activation(sigma_raw.reshape(S, B),
                                      cfg.density_activation)
     alpha = 1.0 - jnp.exp(-sigma * samples["dt"])
-    alpha = jnp.where(valid, alpha, 0.0)
+    alpha = jnp.where(samples["valid"], alpha, 0.0)
 
     # exclusive cumulative transmittance over samples
     one_m = 1.0 - alpha
     T = jnp.concatenate(
         [jnp.ones((1, B)), jnp.cumprod(one_m, axis=0)[:-1]], axis=0)
     w = alpha * T                                   # (S, B)
-    rgb_ray = jnp.stack([jnp.sum(w * r_s, axis=0),
-                         jnp.sum(w * g_s, axis=0),
-                         jnp.sum(w * b_s, axis=0)], axis=-1)  # (B, 3)
+    rgb_ray = jnp.sum(w[..., None] * rgb, axis=0)   # (B, 3)
     acc = jnp.sum(w, axis=0)
     if exposure_scale is not None:
         # per-image exposure scales the scene radiance, not the
