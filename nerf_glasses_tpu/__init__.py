@@ -24,4 +24,20 @@ Layout:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, jax's DEFAULT matmul precision computes f32-operand matmuls in
+# bf16 on the MXU. Geometry matmuls (camera ray generation `ndc @ cam.T`,
+# the render-aabb local transform `pos @ local.T`, per-image training-ray
+# einsums, mesh-pass transforms) then quantize ray directions/positions
+# to ~3 decimal digits, which breaks the voxel DDA: most rays die and
+# frames render as sparse speckle — on TPU only, deterministically per
+# sub-voxel position (measured: 68% of head pixels empty at default
+# precision, 0% at float32; tools/ + VERDICT round-2 history). Every
+# heavy matmul in this package (the MLPs) passes bf16 operands
+# explicitly and is unaffected by this setting; the f32 matmuls it
+# upgrades are all tiny (Nx3 @ 3x3). Set it before any compute module
+# is imported.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from nerf_glasses_tpu.config import NGPConfig  # noqa: F401
