@@ -341,11 +341,15 @@ class Testbed:
             if getattr(self, "flash", False):
                 # flash mode: deferred shading + coarse-pass ray init +
                 # vectorized 16-sample rounds (rays start parked at the
-                # surface, so per-sample DDA skipping buys nothing) + a
-                # minimal per-epoch advance budget
+                # surface, so per-sample DDA skipping buys nothing).
+                # advance_iters=24: silhouette-grazing rays given a
+                # t_floor by their coarse neighbors need the budget to
+                # walk clear, else they blind-sample the baked grid's
+                # dilated boundary shell (measured 33.8 dB at 16 iters
+                # vs 39.0 dB at 24 on the bench head).
                 kw["deferred_color"] = True
                 kw["lowres_factor"] = 8
-                kw["advance_iters"] = 8
+                kw["advance_iters"] = 24
                 kw["vector_rounds"] = True
                 kw["steps_per_round"] = 16
         if getattr(self, "aperture_size", 0.0) > 0.0:

@@ -122,6 +122,12 @@ class MarchOptions:
     lowres_factor: int = 0
     lowres_iters: int = 64
     lowres_slack: float = 6.0 / 128.0
+    # Gate vectorized-round samples on the occupancy grid even when the
+    # baked sigma grid is available (one extra (K*n)-row gather per
+    # round). Without it, rays the advance budget failed to settle
+    # sample the baked grid's dilated boundary shell blindly — phantom
+    # silhouette alpha.
+    vector_occ_gate: bool = False
 
     @property
     def cdtype(self):
@@ -508,7 +514,7 @@ def _march_round(st, params, scene, opts: MarchOptions):
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
         inside = _contains_local(pos_k.reshape(-1, 3), scene).reshape(K, n)
-        if opts.use_baked_sigma:
+        if opts.use_baked_sigma and not opts.vector_occ_gate:
             # the baked grid is occupancy-masked and ~zero in empty
             # space — skip the per-sample occupancy gather entirely
             occ_k = True
