@@ -134,13 +134,25 @@ def time_orbit(renderer, n_frames=N_FRAMES, n_warmup=N_WARMUP):
     return n_frames / (time.perf_counter() - t0)
 
 
-def fidelity_frame(renderer):
-    """Deterministic tonemapped frame at the current camera (spp reset so
-    the jitter sequence is reproducible)."""
+def fidelity_frame(renderer, cam_state=None):
+    """Deterministic tonemapped frame (spp reset so the jitter sequence
+    is reproducible). cam_state=(OrbitCamera, view_projection_mat)
+    restores the starting camera first — time_orbit mutates it, and a
+    drifted view must not contaminate the PSNR gates."""
+    import copy
+    if cam_state is not None:
+        renderer.camera = copy.deepcopy(cam_state[0])
+        renderer.view_projection_mat = cam_state[1].copy()
     for nerf in renderer._nerfs:
         nerf.reset_accumulation()
     renderer.render_frame()
     return renderer.display_image()[..., :3]
+
+
+def cam_snapshot(renderer):
+    import copy
+    return (copy.deepcopy(renderer.camera),
+            renderer.view_projection_mat.copy())
 
 
 def psnr(a, b):
@@ -165,23 +177,24 @@ def main():
         build_bench_snapshot(snap)
 
     renderer, nerf = make_renderer(snap)
+    cam0 = cam_snapshot(renderer)
 
     # fidelity frames at the fixed starting camera
-    frame_unbaked = fidelity_frame(renderer)
+    frame_unbaked = fidelity_frame(renderer, cam0)
     fps_unbaked = time_orbit(renderer)
 
     # the baked-sigma fast path: density from the brick-packed grid,
     # the full network only at significant samples
     renderer2, nerf2 = make_renderer(snap)
     nerf2.bake(256)
-    frame_baked = fidelity_frame(renderer2)
+    frame_baked = fidelity_frame(renderer2, cam0)
     fps_baked = time_orbit(renderer2)
     psnr_bake = psnr(frame_baked, frame_unbaked)
 
     # flash mode (flagship candidate): coarse-pass ray init + deferred
     # shading on top of the baked grid
     nerf2.flash = True
-    frame_flash = fidelity_frame(renderer2)
+    frame_flash = fidelity_frame(renderer2, cam0)
     fps_flash = time_orbit(renderer2)
     psnr_flash = psnr(frame_flash, frame_unbaked)
     nerf2.flash = False
@@ -190,9 +203,9 @@ def main():
     # color still per-sample via significance compaction
     saved_overrides = dict(nerf2.march_overrides)
     nerf2.march_overrides = {**saved_overrides, "lowres_factor": 8,
-                             "advance_iters": 8, "vector_rounds": True,
+                             "advance_iters": 24, "vector_rounds": True,
                              "steps_per_round": 16}
-    frame_fsig = fidelity_frame(renderer2)
+    frame_fsig = fidelity_frame(renderer2, cam0)
     fps_fsig = time_orbit(renderer2)
     psnr_fsig = psnr(frame_fsig, frame_unbaked)
     nerf2.march_overrides = saved_overrides
@@ -237,6 +250,11 @@ def main():
         "extra": {
             "frame_ms": round(1000.0 / fps_head, 2),
             "rays_per_sec": int(fps_head * W * H),
+            # the BASELINE target hardware is v5e-8; the march is pure
+            # ray-DP with zero collectives (parallel/sharding.py,
+            # equivalence-tested on an 8-device mesh), so 8 chips scale
+            # ~linearly. NAIVE extrapolation — no 8-chip hardware here.
+            "fps_v5e8_raydp_extrapolated": round(fps_head * 8.0, 1),
             "fps_unbaked": round(fps_unbaked, 3),
             "fps_baked": round(fps_baked, 3),
             "fps_flash": round(fps_flash, 3),
