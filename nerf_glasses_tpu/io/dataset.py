@@ -114,6 +114,10 @@ class NerfDataset:
     has_light_dirs: bool = False
     # Training pixels: list of (H, W, 4) float32 linear premultiplied.
     images: Optional[List[np.ndarray]] = None
+    # Optional per-image depth: list of (H, W) float32 in NGP units
+    # (0 = no supervision), or None per image (the reference pipeline
+    # carries these, nerf_loader.cu:756-856).
+    depth_images: Optional[List[Optional[np.ndarray]]] = None
 
     @property
     def n_extra_dims(self) -> int:

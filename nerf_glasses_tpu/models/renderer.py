@@ -186,11 +186,9 @@ class NerfMeshRenderer:
             f = self.mesh_render_size_factor
             xf, nm = tri_ops.instance_transforms(self._mesh_arrays,
                                                  self._meshes)
-            color, depth = tri_ops.render_mesh_pass(
+            surf_c, surf_t = tri_ops.render_mesh_surface(
                 self._mesh_arrays, xf, nm, self.view_projection_mat,
-                w * f, h * f, self.light_pos, device_out=True)
-            surf_c, surf_t = tri_ops.downsample_surface(
-                jnp.asarray(color), jnp.asarray(depth), f)
+                w, h, f, self.light_pos)
             self._nerfs[0].set_surface_buffers(
                 surf_c.reshape(-1, 4), surf_t.reshape(-1), w, h)
             if self.profile:
@@ -247,6 +245,7 @@ class NerfMeshRenderer:
             "frame_ms": self.frame_ms.ema_val,
             "mesh_ms": self.mesh_ms.ema_val,
             "nerf_ms": self.nerf_ms.ema_val,
+            "hbm_available": mem["available"],
             "hbm_bytes_in_use": mem["bytes_in_use"],
             "hbm_bytes_limit": mem["bytes_limit"],
             "hbm_peak_bytes_in_use": mem["peak_bytes_in_use"],

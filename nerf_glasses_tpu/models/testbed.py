@@ -128,7 +128,13 @@ class Testbed:
         self.config = NGPConfig()
         self.params = None
         self.density_grid = None      # (cascades, 128,128,128) f32 [z,y,x]
-        self.occ = None               # (8, 128,128,128) uint8
+        # scene-array slots bump _scene_version on assignment so the
+        # memoized render scene can key on a monotonic counter instead of
+        # id() (which can be reused after garbage collection)
+        self._scene_version = 0
+        self._occ = None              # (8, 128,128,128) uint8
+        self._baked_sigma_arr = None
+        self._extra_dims = None
         self.dataset = NerfDataset()
 
         self.aabb = BoundingBox([0, 0, 0], [1, 1, 1])
@@ -197,6 +203,34 @@ class Testbed:
 
         self._snapshot_path: Optional[str] = None
         self.march_overrides = {}
+
+    # scene-array slots (see _scene_version note in __init__)
+    @property
+    def occ(self):
+        return self._occ
+
+    @occ.setter
+    def occ(self, v):
+        self._occ = v
+        self._scene_version += 1
+
+    @property
+    def _baked_sigma(self):
+        return self._baked_sigma_arr
+
+    @_baked_sigma.setter
+    def _baked_sigma(self, v):
+        self._baked_sigma_arr = v
+        self._scene_version += 1
+
+    @property
+    def extra_dims(self):
+        return self._extra_dims
+
+    @extra_dims.setter
+    def extra_dims(self, v):
+        self._extra_dims = v
+        self._scene_version += 1
 
     # ------------------------------------------------------------------
     # Snapshot IO
@@ -363,11 +397,9 @@ class Testbed:
         # memoized: make_scene builds the empty-space jump grid (a dozen
         # device ops) — once per occupancy/render-aabb change, not per
         # frame
-        key = (id(self.occ), self.render_aabb.min.tobytes(),
+        key = (self._scene_version, self.render_aabb.min.tobytes(),
                self.render_aabb.max.tobytes(),
-               self.render_aabb_to_local.tobytes(),
-               id(getattr(self, "_baked_sigma", None)),
-               id(getattr(self, "extra_dims", None)))
+               self.render_aabb_to_local.tobytes())
         cached = getattr(self, "_scene_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -505,7 +537,10 @@ class Testbed:
                            depth_img=None, depth_scale: float = 1.0):
         """pyngp Testbed.Nerf.Training.set_image semantics
         (python_api.cu:51-69): img is (H, W, 4) float32, linear color,
-        premultiplied alpha."""
+        premultiplied alpha. depth_img is an optional (H, W) depth map in
+        dataset units; depth_scale * dataset.scale converts it to NGP
+        units (nerf_loader.cu:756-856 stores depth the same way). Pixels
+        with depth <= 0 carry no supervision."""
         img = np.asarray(img, np.float32)
         if img.ndim != 3 or img.shape[2] != 4:
             raise ValueError("image should be (H,W,C) where C=4")
@@ -515,6 +550,12 @@ class Testbed:
         self.dataset.images[frame_idx] = img
         md = self.dataset.metadata[frame_idx]
         md.resolution = (img.shape[1], img.shape[0])
+        if depth_img is not None:
+            if self.dataset.depth_images is None:
+                self.dataset.depth_images = [None] * self.dataset.n_images
+            self.dataset.depth_images[frame_idx] = (
+                np.asarray(depth_img, np.float32)
+                * float(depth_scale) * float(self.dataset.scale))
         self._trainer = None
 
     def set_camera_extrinsics(self, frame_idx: int, camera_to_world,

@@ -342,43 +342,79 @@ def shade_hits(mesh: MeshArrays, o, d, t, tri, uv_bary, nrm_mats,
     return jnp.where(hit[:, None], rgb, 0.0)
 
 
+def shade_hits_compacted(mesh: MeshArrays, o, d, t, tri, uv_bary, nrm_mats,
+                         light_pos, cam_eye, chunk: int = 1 << 15):
+    """shade_hits, but only for rays that actually hit a triangle.
+
+    Mesh coverage is typically a small screen fraction (the bench
+    glasses: <1% of 3.7M supersampled rays), so shading every ray wastes
+    ~99% of the work (measured 83 ms of an 87 ms mesh pass on v5e). This
+    compacts hit-ray ids with the same cumsum stable partition as the
+    march's ray compaction and shades fixed-size chunks, so cost scales
+    with hits. Returns (N, 3) rgb with zeros at misses."""
+    n = t.shape[0]
+    hit = tri >= 0
+    ids = jnp.arange(n, dtype=jnp.int32)
+    n_hit = jnp.sum(hit.astype(jnp.int32))
+    pos_a = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    pos_d = n_hit + jnp.cumsum((~hit).astype(jnp.int32)) - 1
+    slot = jnp.where(hit, pos_a, pos_d)
+    perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+
+    CH = min(chunk, n)
+    n_chunks = (n_hit + CH - 1) // CH
+    rgb = jnp.zeros((n, 3))
+
+    def body(i, rgb):
+        idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
+        rgb_c = shade_hits(mesh, o[idx], d[idx], t[idx], tri[idx],
+                           uv_bary[idx], nrm_mats, light_pos, cam_eye)
+        return rgb.at[idx].set(rgb_c)
+
+    return jax.lax.fori_loop(0, n_chunks, body, rgb)
+
+
 # ---------------------------------------------------------------------------
 # Full mesh pass
 # ---------------------------------------------------------------------------
 
 def render_mesh_pass_tiled(mesh: MeshArrays, xforms, nrm_mats,
                            camera: np.ndarray, width: int, height: int,
-                           light_pos, device_out: bool = False):
+                           light_pos, device_out: bool = False,
+                           factor: int = 1):
     """Tile-culled Pallas mesh pass: bin triangles to screen tiles by
     projected bbox, trace each tile against only its candidates (the TPU
-    analogue of the reference's OptiX IAS/GAS traversal), shade, return
-    (color (H,W,4) sRGB+coverage, depth (H,W)).
+    analogue of the reference's OptiX IAS/GAS traversal), shade only the
+    rays that hit, return (color (H,W,4) sRGB+coverage, depth (H,W)).
 
     Everything — ray generation, binning, trace, shade, un-tiling — runs
     on device in one jitted dispatch; only the 3x4 camera and instance
     transforms are uploaded per frame. `device_out` keeps the results as
     jnp arrays (the hybrid frame path feeds them straight into the
-    volumetric march)."""
+    volumetric march). `factor` > 1 fuses the 2x2 payload block-reduce
+    (copyRaytracingBuffersToNerfRays) into the same dispatch, reducing in
+    tile layout before the un-tiling transpose touches HBM."""
     cam = jnp.asarray(camera, jnp.float32)
     wp = ((width + TILE_W - 1) // TILE_W) * TILE_W
     hp = ((height + TILE_H - 1) // TILE_H) * TILE_H
-    fn = _get_tiled_fn(mesh, width, height, wp, hp)
+    fn = _get_tiled_fn(mesh, width, height, wp, hp, factor)
     color, depth = fn(cam, jnp.asarray(xforms), jnp.asarray(nrm_mats),
                       jnp.asarray(light_pos, jnp.float32))
-    color = color[:height, :width]
-    depth = depth[:height, :width]
+    color = color[:height // factor, :width // factor]
+    depth = depth[:height // factor, :width // factor]
     if device_out:
         return color, depth
     return np.asarray(color), np.asarray(depth)
 
 
 def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
-                  hp: int):
-    key = ("tiled", width, height, wp, hp)
+                  hp: int, factor: int = 1):
+    key = ("tiled", width, height, wp, hp, factor)
     fn = mesh._tile_cache.get(key)
     if fn is None:
         ntx = wp // TILE_W
         nty = hp // TILE_H
+        assert TILE_W % factor == 0 and TILE_H % factor == 0
 
         def f(cam, xforms, nrm_mats, light):
             from nerf_glasses_tpu.ops.mesh_pallas import raycast_pallas_tiled
@@ -409,23 +445,54 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
             t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o_t, d_t,
                                                   lists, counts)
             uv = jnp.stack([uu, vv], axis=-1)
-            rgb = shade_hits(mesh, o_t, d_t, t, tri, uv, nrm_mats, light,
-                             eye)
+            rgb = shade_hits_compacted(mesh, o_t, d_t, t, tri, uv,
+                                       nrm_mats, light, eye)
             hit = tri >= 0
             rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
             color = jnp.concatenate(
                 [rgb, hit[:, None].astype(jnp.float32)], -1)
             depth = jnp.where(hit, t, 0.0)
+            color = color.reshape(nty, ntx, TILE_H, TILE_W, 4)
+            depth = depth.reshape(nty, ntx, TILE_H, TILE_W)
+            if factor > 1:
+                # fused payload reduce: color mean / depth max per FxF
+                # block, in tile layout (blocks never straddle tiles)
+                th, tw = TILE_H // factor, TILE_W // factor
+                color = color.reshape(nty, ntx, th, factor, tw, factor, 4
+                                      ).mean(axis=(3, 5))
+                depth = depth.reshape(nty, ntx, th, factor, tw, factor
+                                      ).max(axis=(3, 5))
+            else:
+                th, tw = TILE_H, TILE_W
             # un-tile back to image layout on device
-            color = (color.reshape(nty, ntx, TILE_H, TILE_W, 4)
-                     .transpose(0, 2, 1, 3, 4).reshape(hp, wp, 4))
-            depth = (depth.reshape(nty, ntx, TILE_H, TILE_W)
-                     .transpose(0, 2, 1, 3).reshape(hp, wp))
+            color = (color.transpose(0, 2, 1, 3, 4)
+                     .reshape(nty * th, ntx * tw, 4))
+            depth = (depth.transpose(0, 2, 1, 3)
+                     .reshape(nty * th, ntx * tw))
             return color, depth
 
         fn = jax.jit(f)
         mesh._tile_cache[key] = fn
     return fn
+
+
+def render_mesh_surface(mesh: MeshArrays, xforms, nrm_mats,
+                        camera: np.ndarray, width: int, height: int,
+                        factor: int, light_pos):
+    """Mesh pass at (width*factor, height*factor) supersampling with the
+    2x2 payload block-reduce fused into the same dispatch -> per-NeRF-
+    pixel (surface_color (H,W,4), t_surface (H,W)) jnp arrays. Falls back
+    to the unfused path off-TPU."""
+    if _use_pallas_raycast():
+        return render_mesh_pass_tiled(mesh, xforms, nrm_mats, camera,
+                                      width * factor, height * factor,
+                                      light_pos, device_out=True,
+                                      factor=factor)
+    color, depth = render_mesh_pass(mesh, xforms, nrm_mats, camera,
+                                    width * factor, height * factor,
+                                    light_pos, device_out=True)
+    return downsample_surface(jnp.asarray(color), jnp.asarray(depth),
+                              factor)
 
 
 def render_mesh_pass(mesh: MeshArrays, xforms: np.ndarray, nrm_mats: np.ndarray,

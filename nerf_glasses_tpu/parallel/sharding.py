@@ -99,6 +99,196 @@ def render_image_sharded(params, scene, camera, width, height,
 
 
 # ---------------------------------------------------------------------------
+# Sharded HYBRID frame: mesh pass + flash coarse init + compacting march,
+# all inside shard_map (the executable path behind the bench's x8
+# extrapolation — each chip renders its rows of the frame end to end;
+# params/scene/geometry replicated, zero collectives).
+# ---------------------------------------------------------------------------
+
+_HYBRID_FN_CACHE = {}
+
+
+def make_hybrid_frame_sharded(mesh: Mesh, tri_mesh, opts,
+                              width: int, height: int, axis: str = "data",
+                              supersample: int = 2):
+    """-> fn(params, scene, xforms, nrm_mats, cam, light, pix_offset)
+    rendering the full hybrid frame with pixel ROWS sharded over `axis`.
+
+    Per shard (= per chip): the mesh pass traces+shades its rows at
+    `supersample` resolution, block-reduces them into surface payloads
+    (copyRaytracingBuffersToNerfRays semantics), and the compacting
+    march (march_frame_impl, including the flash coarse init when
+    opts.lowres_factor > 1) runs on the shard's rays with device-side
+    ray generation. The flash coarse pass is computed replicated over
+    the whole low-res grid (negligible: (H/F)*(W/F) rays) so its 3x3
+    min-filter sees no shard seams and the result is identical to the
+    single-device frame.
+
+    Geometry (tri_mesh: ops.triangles.MeshArrays) is closed over as
+    constants; instance transforms are runtime args. Jitter uses
+    shard-local ray ids; pass opts.jitter=False for bitwise
+    shard-count-invariance (the equivalence tests do).
+    """
+    import dataclasses as _dc
+
+    from nerf_glasses_tpu.ops import triangles as tri_ops
+    from nerf_glasses_tpu.ops.colors import linear_to_srgb
+    from nerf_glasses_tpu.ops.raymarch import (_shade_frame, lowres_t_enter,
+                                               march_frame_impl)
+
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, (height, n_dev)
+    rows = height // n_dev
+    npix_local = rows * width
+    if npix_local % opts.chunk != 0:
+        # largest divisor of the shard's ray count <= the tuned chunk
+        best = 1
+        i = 1
+        while i * i <= npix_local:
+            if npix_local % i == 0:
+                for c in (i, npix_local // i):
+                    if c <= opts.chunk:
+                        best = max(best, c)
+            i += 1
+        opts = _dc.replace(opts, chunk=best)
+    f = supersample
+    use_pallas = jax.default_backend() == "tpu"
+    flash = opts.lowres_factor > 1
+
+    def local(params, scene, xforms, nrm_mats, cam, light, pix_offset,
+              t_floor_rows, alive_rows):
+        row0 = jax.lax.axis_index(axis) * rows
+        eye = cam[:, 3]
+
+        # ---- mesh pass for my rows at supersample resolution ----
+        hf, wf = rows * f, width * f
+        px = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 1) + 0.5
+        py = (jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 0)
+              + row0 * f + 0.5)
+        ndc = jnp.stack([px / (width * f) * 2.0 - 1.0,
+                         py / (height * f) * 2.0 - 1.0,
+                         jnp.ones((hf, wf))], axis=-1)
+        d_m = (ndc @ cam[:, :3].T).reshape(-1, 3)
+        d_m = d_m / jnp.linalg.norm(d_m, axis=-1, keepdims=True)
+        o_m = jnp.broadcast_to(eye, d_m.shape)
+
+        rot = xforms[tri_mesh.inst_id, :, :3]
+        trans = xforms[tri_mesh.inst_id, :, 3]
+        v0 = jnp.einsum("tij,tj->ti", rot, tri_mesh.v0) + trans
+        e1 = jnp.einsum("tij,tj->ti", rot, tri_mesh.e1)
+        e2 = jnp.einsum("tij,tj->ti", rot, tri_mesh.e2)
+        if use_pallas:
+            from nerf_glasses_tpu.ops.mesh_pallas import (BLOCK,
+                                                          raycast_pallas)
+            tri_scalars = jnp.concatenate([v0, e1, e2], axis=1)
+            pad = (-o_m.shape[0]) % BLOCK
+            o_p = jnp.pad(o_m, ((0, pad), (0, 0)), mode="edge")
+            d_p = jnp.pad(d_m, ((0, pad), (0, 0)), mode="edge")
+            t, tri, uu, vv = raycast_pallas(tri_scalars, o_p, d_p,
+                                            tri_mesh.n_tris)
+            t, tri = t[:hf * wf], tri[:hf * wf]
+            uv = jnp.stack([uu[:hf * wf], vv[:hf * wf]], axis=-1)
+        else:
+            t, tri, uv = tri_ops._raycast_chunked(
+                o_m, d_m, v0, e1, e2, chunk=256, cull_backfaces=True)
+        rgb = tri_ops.shade_hits_compacted(tri_mesh, o_m, d_m, t, tri, uv,
+                                           nrm_mats, light, eye)
+        hit = tri >= 0
+        rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
+        color = jnp.concatenate([rgb, hit[:, None].astype(jnp.float32)],
+                                -1).reshape(hf, wf, 4)
+        depth = jnp.where(hit, t, 0.0).reshape(hf, wf)
+        surf_c, surf_t = tri_ops.downsample_surface(color, depth, f)
+
+        # ---- volumetric march on my rows ----
+        def chunk_raygen(idx):
+            gid = idx + row0 * width
+            fx = (jnp.remainder(gid, width).astype(jnp.float32)
+                  + pix_offset[0]) / width * 2.0 - 1.0
+            fy = ((gid // width).astype(jnp.float32)
+                  + pix_offset[1]) / height * 2.0 - 1.0
+            ndc_c = jnp.stack([fx, fy, jnp.ones_like(fx)], axis=-1)
+            dc = ndc_c @ cam[:, :3].T
+            dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+            oc = jnp.broadcast_to(cam[:, 3] + 0.5, dc.shape)
+            return oc, dc
+
+        o, d = chunk_raygen(jnp.arange(npix_local, dtype=jnp.int32))
+        out = march_frame_impl(
+            params, scene, o, d, surf_c.reshape(-1, 4),
+            surf_t.reshape(-1), opts, chunk_raygen=chunk_raygen,
+            has_surface=True,
+            t_floor=(t_floor_rows.reshape(-1) if flash else None),
+            alive_mask=(alive_rows.reshape(-1) if flash else None))
+        rgba = out["rgba"].reshape(rows, width, 4)
+        depth_out = out["depth"].reshape(rows, width)
+        return _shade_frame(rgba, False), depth_out
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    def full(params, scene, xforms, nrm_mats, cam, light, pix_offset):
+        if flash:
+            # replicated flash coarse init over the whole frame (seam-free)
+            F = opts.lowres_factor
+            Hl = (height + F - 1) // F
+            Wl = (width + F - 1) // F
+            lx = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
+            ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
+            ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
+            vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
+            ndc = jnp.stack([ul, vl, jnp.ones((Hl, Wl))], -1).reshape(-1, 3)
+            ld = ndc @ cam[:, :3].T
+            ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+            lo = jnp.broadcast_to(cam[:, 3] + 0.5, ld.shape)
+            t_l, hit_l = lowres_t_enter(scene, lo, ld, opts)
+            t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
+            p9 = jnp.pad(t_img, 1, mode="edge")
+            tmin9 = t_img
+            for dy in range(3):
+                for dx in range(3):
+                    tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
+            alive_img = jnp.isfinite(tmin9)
+            tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
+            t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
+                              F, axis=1)[:, :width]
+            a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],
+                              F, axis=1)[:, :width]
+        else:
+            t_up = jnp.zeros((height, width))
+            a_up = jnp.zeros((height, width), bool)
+        return sharded(params, scene, xforms, nrm_mats, cam, light,
+                       pix_offset, t_up, a_up)
+
+    return jax.jit(full)
+
+
+def render_hybrid_sharded(params, scene, tri_mesh, xforms, nrm_mats,
+                          camera, width: int, height: int, opts,
+                          mesh: Mesh, light_pos=(1.0, 1.0, 1.0),
+                          pix_offset=(0.5, 0.5)):
+    """Full hybrid frame (mesh pass + flash init + march) with rows
+    sharded across the device mesh -> (frame (H,W,4) linear
+    premultiplied, depth (H,W)) numpy."""
+    key = (id(tri_mesh), opts, width, height, mesh.devices.size)
+    fn = _HYBRID_FN_CACHE.get(key)
+    if fn is None:
+        fn = make_hybrid_frame_sharded(mesh, tri_mesh, opts, width, height)
+        _HYBRID_FN_CACHE[key] = fn
+    with mesh:
+        rgba, depth = fn(params, scene, jnp.asarray(xforms),
+                         jnp.asarray(nrm_mats),
+                         jnp.asarray(camera, jnp.float32),
+                         jnp.asarray(light_pos, jnp.float32),
+                         jnp.asarray(pix_offset, jnp.float32))
+    return np.asarray(rgba), np.asarray(depth)
+
+
+# ---------------------------------------------------------------------------
 # Sharded training (DP over the ray batch, psum grads)
 # ---------------------------------------------------------------------------
 
@@ -187,6 +377,7 @@ class ShardedTrainer(trainer_mod.Trainer):
                     self.state, self.opts,
                     rebuild_occ=self.step >= self.occ_warmup_steps)
             self.state, loss = self._step_fn(self.state, self.data)
+            self._host_step += 1
             self.loss = float(loss)
             self.loss_history.append(self.loss)
             if len(self.loss_history) > self.loss_history_capacity:

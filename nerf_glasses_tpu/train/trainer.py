@@ -122,6 +122,12 @@ class TrainOptions:
     # the mean exposure away the same way).
     optimize_exposure: bool = False
     exposure_lr: float = 1e-3
+    # depth supervision (the reference dataset pipeline carries per-pixel
+    # depth, nerf_loader.cu:756-856 / python_api.cu:51-69; upstream adds
+    # depth_supervision_lambda * loss(ray_depth, target_depth) for pixels
+    # with valid depth). -1 = auto: 1.0 when the dataset carries depth
+    # images, else off. Depth targets are in NGP units.
+    depth_supervision_lambda: float = -1.0
 
     @property
     def cdtype(self):
@@ -182,6 +188,13 @@ def prepare_dataset_arrays(ds: NerfDataset) -> Dict[str, jnp.ndarray]:
     assert ds.images is not None and len(ds.images) == ds.n_images
     images = np.stack(ds.images)  # (N, H, W, 4) linear premultiplied
     h, w = images.shape[1:3]
+    out = {}
+    depths = getattr(ds, "depth_images", None)
+    if depths is not None and any(d is not None for d in depths):
+        # (N, H, W) NGP-unit depth, 0 = no supervision at that pixel
+        out["depths"] = jnp.asarray(np.stack(
+            [np.zeros((h, w), np.float32) if d is None
+             else np.asarray(d, np.float32) for d in depths]))
     fx = np.array([m.focal_length[0] for m in ds.metadata], np.float32)
     fy = np.array([m.focal_length[1] for m in ds.metadata], np.float32)
     cx = np.array([m.principal_point[0] for m in ds.metadata], np.float32) * w
@@ -190,6 +203,7 @@ def prepare_dataset_arrays(ds: NerfDataset) -> Dict[str, jnp.ndarray]:
                      else (0.0, 0.0, 0.0, 0.0) for m in ds.metadata],
                     np.float32)
     return {
+        **out,
         "images": jnp.asarray(images),
         "xforms": jnp.asarray(ds.xforms),      # (N, 3, 4) NGP space
         "fx": jnp.asarray(fx), "fy": jnp.asarray(fy),
@@ -449,11 +463,14 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
     w = alpha * T                                   # (S, B)
     rgb_ray = jnp.sum(w[..., None] * rgb, axis=0)   # (B, 3)
     acc = jnp.sum(w, axis=0)
+    # expected ray depth (weight-averaged sample distance) for optional
+    # depth supervision
+    depth_ray = jnp.sum(w * samples["t"], axis=0)
     if exposure_scale is not None:
         # per-image exposure scales the scene radiance, not the
         # background composite (upstream's optimize_exposure)
         rgb_ray = rgb_ray * exposure_scale
-    return rgb_ray + (1.0 - acc)[:, None] * bg, acc
+    return rgb_ray + (1.0 - acc)[:, None] * bg, acc, depth_ray
 
 
 def _loss_fn(pred, target, opts: TrainOptions):
@@ -590,19 +607,33 @@ def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
         extra = aux["extra_dims"][img] if "extra_dims" in aux else None
         exp_scale = (jnp.exp(aux["exposure"][img])
                      if "exposure" in aux else None)
-        pred, _ = forward_rays(params, samples, o, d, bg, opts,
-                               state["aabb_min"], state["aabb_max"],
-                               extra=extra, exposure_scale=exp_scale)
+        pred, _, pdepth = forward_rays(params, samples, o, d, bg, opts,
+                                       state["aabb_min"], state["aabb_max"],
+                                       extra=extra, exposure_scale=exp_scale)
         diff = pred - target_rgb
         per_ray_err = jax.lax.stop_gradient(jnp.mean(diff * diff, axis=-1))
-        return _loss_fn(pred, target_rgb, opts), per_ray_err
+        loss = _loss_fn(pred, target_rgb, opts)
+        lam = opts.depth_supervision_lambda
+        if lam != 0.0 and "depths" in data:
+            lam = 1.0 if lam < 0.0 else lam
+            # Huber on ray depth at pixels with valid (>0) depth targets
+            # (upstream's depth_supervision_lambda term)
+            td = data["depths"][img, py, px]
+            dvalid = (td > 0.0).astype(jnp.float32)
+            a = jnp.abs(pdepth - td)
+            dl = opts.huber_delta
+            hub = jnp.where(a <= dl, 0.5 * a * a / dl, a - 0.5 * dl)
+            loss = loss + lam * (jnp.sum(hub * dvalid)
+                                 / jnp.maximum(jnp.sum(dvalid), 1.0))
+        return loss, per_ray_err
 
     return jax.value_and_grad(loss_of, has_aux=True)(
         (state["params"], state["aux"]))
 
 
-@partial(jax.jit, static_argnames=("opts",), donate_argnums=(0,))
-def train_step(state, data, opts: TrainOptions):
+def _train_step_body(state, data, opts: TrainOptions):
+    """One training step (traceable; jitted as train_step, chained by
+    train_chunk)."""
     rng, r1, r2, r3 = jax.random.split(state["rng"], 4)
     img, px, py, target, samples = _ray_batch(state, data, r1, r2,
                                               opts.rays_per_batch, opts)
@@ -630,9 +661,41 @@ def train_step(state, data, opts: TrainOptions):
     return out, loss
 
 
+@partial(jax.jit, static_argnames=("opts",), donate_argnums=(0,))
+def train_step(state, data, opts: TrainOptions):
+    return _train_step_body(state, data, opts)
+
+
+@partial(jax.jit,
+         static_argnames=("opts", "n_steps", "update_grid", "rebuild_occ"),
+         donate_argnums=(0,))
+def train_chunk(state, data, opts: TrainOptions, n_steps: int,
+                update_grid: bool, rebuild_occ: bool):
+    """n_steps training steps in ONE dispatch (+ the periodic density-
+    grid update fused at the top when `update_grid`).
+
+    The per-step host round trip is the dominant per-step cost on a
+    remote TPU (the reference's host-driven loop has the same sync in
+    testbed.cu:1988 — here it amortizes over a whole chunk). Returns
+    (state, losses (n_steps,))."""
+    if update_grid:
+        state = _update_density_grid_body(state, opts, rebuild_occ)
+
+    def body(state, _):
+        return _train_step_body(state, data, opts)
+
+    state, losses = jax.lax.scan(body, state, None, length=n_steps)
+    return state, losses
+
+
 @partial(jax.jit, static_argnames=("opts", "rebuild_occ"),
          donate_argnums=(0,))
 def update_density_grid(state, opts: TrainOptions, rebuild_occ: bool = True):
+    return _update_density_grid_body(state, opts, rebuild_occ)
+
+
+def _update_density_grid_body(state, opts: TrainOptions,
+                              rebuild_occ: bool = True):
     """EMA decay + scatter-max of freshly queried densities at random
     cells, then rebuild the occupancy bitfield (upstream semantics:
     density_grid_decay 0.95, update every 16 steps). During warmup the
@@ -697,10 +760,13 @@ class Trainer:
                                       self.aabb_min, self.aabb_max,
                                       n_images=dataset.n_images)
         self.loss = float("nan")
+        # host-side mirror of state["step"] so the loop never syncs just
+        # to know where it is
+        self._host_step = 0
 
     @property
     def step(self) -> int:
-        return int(self.state["step"])
+        return self._host_step
 
     # upstream keeps the grid dense for its first 256 training steps
     occ_warmup_steps: int = 256
@@ -708,31 +774,60 @@ class Trainer:
     loss_history_capacity: int = 256
 
     def train(self, n_steps: int = 1, callback=None) -> float:
+        """Advance n_steps. Steps are dispatched in chunks aligned to the
+        density-grid cadence (train_chunk: the grid update + up to
+        grid_update_interval steps fused into ONE device dispatch), and
+        the losses come back in a single fetch at the end — no per-step
+        host sync (the round-2 loop's float(loss) every step serialized
+        the remote TPU on the tunnel round trip). A per-step `callback`
+        falls back to one dispatch per step."""
         if not hasattr(self, "loss_history"):
             self.loss_history = []
-        for _ in range(n_steps):
-            if self.step % self.opts.grid_update_interval == 0:
-                self.state = update_density_grid(
-                    self.state, self.opts,
-                    rebuild_occ=self.step >= self.occ_warmup_steps)
-            self.state, loss = train_step(self.state, self.data, self.opts)
-            self.loss = float(loss)
-            self.loss_history.append(self.loss)
-            if len(self.loss_history) > self.loss_history_capacity:
-                del self.loss_history[:-self.loss_history_capacity]
-            if callback is not None:
-                callback(self.step, self.loss)
+        interval = self.opts.grid_update_interval
+        loss_chunks = []
+        remaining = n_steps
+        while remaining > 0:
+            step = self._host_step
+            update = step % interval == 0
+            n = min(interval - step % interval, remaining)
+            if callback is None:
+                self.state, losses = train_chunk(
+                    self.state, self.data, self.opts, n, update,
+                    step >= self.occ_warmup_steps)
+                loss_chunks.append(losses)
+            else:
+                if update:
+                    self.state = update_density_grid(
+                        self.state, self.opts,
+                        rebuild_occ=step >= self.occ_warmup_steps)
+                for i in range(n):
+                    self.state, loss = train_step(self.state, self.data,
+                                                  self.opts)
+                    lf = float(loss)
+                    callback(step + i + 1, lf)
+                    loss_chunks.append(jnp.full((1,), lf))
+            self._host_step += n
+            remaining -= n
+        all_losses = np.asarray(jnp.concatenate(loss_chunks), np.float32)
+        self.loss = float(all_losses[-1])
+        self.loss_history.extend(float(l) for l in all_losses)
+        if len(self.loss_history) > self.loss_history_capacity:
+            del self.loss_history[:-self.loss_history_capacity]
         return self.loss
 
     def train_until(self, target_loss: float = 0.00175,
                     max_steps: int = 10000, log_every: int = 100) -> float:
-        """The reference train.py stop criteria (volume/train.py:11-12)."""
+        """The reference train.py stop criteria (volume/train.py:11-12).
+        The loss EMA is checked once per grid-update chunk, not per step
+        (one host sync per chunk)."""
+        interval = self.opts.grid_update_interval
         while self.step < max_steps:
-            self.train(1)
-            if log_every and self.step % log_every == 0:
+            self.train(min(interval, max_steps - self.step))
+            ema = float(self.state["loss_ema"])
+            if log_every and (self.step % log_every < interval):
                 print(f"step {self.step}: loss {self.loss:.6f} "
-                      f"(ema {float(self.state['loss_ema']):.6f})")
-            if float(self.state["loss_ema"]) < target_loss and self.step > 100:
+                      f"(ema {ema:.6f})")
+            if ema < target_loss and self.step > 100:
                 break
         return self.loss
 

@@ -47,18 +47,23 @@ class Ema:
 
 def device_memory_stats(device=None) -> dict:
     """HBM usage of a jax device -> {"bytes_in_use", "bytes_limit",
-    "peak_bytes_in_use"} (0s when the backend exposes no stats).
+    "peak_bytes_in_use", "available": bool}.
 
     The cudaMemGetInfo/VRAM-stats analogue of the reference's stats
-    panel (nerf_mesh_renderer.cu:852-873)."""
+    panel (nerf_mesh_renderer.cu:852-873). Some backends (the axon TPU
+    tunnel among them) expose no allocator stats; rather than silently
+    reporting zeros, `available` is False and the byte fields are None."""
     import jax
     if device is None:
         device = jax.local_devices()[0]
-    stats = {}
     try:
         raw = device.memory_stats() or {}
     except Exception:
         raw = {}
+    available = bool(raw) and any(
+        raw.get(k) for k in ("bytes_in_use", "bytes_limit",
+                             "peak_bytes_in_use"))
+    stats = {"available": available}
     for k in ("bytes_in_use", "bytes_limit", "peak_bytes_in_use"):
-        stats[k] = int(raw.get(k, 0))
+        stats[k] = int(raw[k]) if available and k in raw else None
     return stats

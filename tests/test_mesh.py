@@ -130,3 +130,54 @@ def test_rotate_around_axis_keeps_pivot_fixed(tmp_path):
     xf1 = node.get_transform()
     world_after = xf1[:3, :3] @ pivot_local + xf1[:3, 3]
     np.testing.assert_allclose(world_before, world_after, atol=1e-5)
+
+
+def test_shade_hits_compacted_matches_dense(tmp_path):
+    """Compacted shading (hit rays only) must agree with dense shade_hits
+    for every ray, hit or miss."""
+    path = write_quad_gltf(tmp_path / "quad.gltf", size=1.0, z=0.0)
+    scene = gltf_io.load(str(path))
+    mesh = tri_ops.build_mesh_arrays([scene])
+    xf, nm = tri_ops.instance_transforms(mesh, [scene])
+
+    rng = np.random.default_rng(5)
+    n = 256
+    o = np.tile(np.array([[0.1, -0.1, 2.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t, tri, uv = tri_ops._raycast_chunked(
+        jnp.asarray(o), jnp.asarray(d), mesh.v0, mesh.e1, mesh.e2,
+        chunk=8, cull_backfaces=True)
+    assert int(np.sum(np.asarray(tri) >= 0)) > 10  # some hits, some misses
+    nmj = jnp.asarray(nm)
+    dense = tri_ops.shade_hits(mesh, jnp.asarray(o), jnp.asarray(d), t,
+                               tri, uv, nmj, [1, 1, 1], o[0])
+    compact = tri_ops.shade_hits_compacted(
+        mesh, jnp.asarray(o), jnp.asarray(d), t, tri, uv, nmj,
+        [1, 1, 1], o[0], chunk=64)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_render_mesh_surface_matches_manual_downsample(tmp_path):
+    path = write_quad_gltf(tmp_path / "quad.gltf", size=1.0, z=0.0)
+    scene = gltf_io.load(str(path))
+    mesh = tri_ops.build_mesh_arrays([scene])
+    xf, nm = tri_ops.instance_transforms(mesh, [scene])
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, 0] = [0.5, 0, 0]
+    cam[:, 1] = [0, 0.5, 0]
+    cam[:, 2] = [0, 0, -1]
+    cam[:, 3] = [0, 0, 2]
+    c2, d2 = tri_ops.render_mesh_pass(mesh, xf, nm, cam, 32, 32,
+                                      [1, 1, 1], device_out=True)
+    want_c, want_d = tri_ops.downsample_surface(
+        jnp.asarray(c2), jnp.asarray(d2), 2)
+    got_c, got_d = tri_ops.render_mesh_surface(mesh, xf, nm, cam, 16, 16,
+                                               2, [1, 1, 1])
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               atol=1e-6)

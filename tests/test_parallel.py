@@ -71,3 +71,97 @@ def test_sharded_train_step_runs_and_decreases_loss():
     losses_late = [tr.train(1) for _ in range(5)]
     assert np.isfinite(losses_late).all()
     assert np.mean(losses_late) < np.mean(losses_early) * 0.8
+
+
+# ---------------------------------------------------------------------------
+# Sharded HYBRID frame (mesh pass + flash init + march in shard_map)
+# ---------------------------------------------------------------------------
+
+def _hybrid_fixture(tmp_path):
+    """Baked blob scene + quad mesh + flash march options."""
+    from nerf_glasses_tpu.io import gltf as gltf_io
+    from nerf_glasses_tpu.ops import triangles as tri_ops
+    from nerf_glasses_tpu.ops.bake import pack_sigma_bricks
+    from tests.helpers import write_quad_gltf
+
+    params = init_params(jax.random.PRNGKey(2), CFG)
+
+    # spherical blob occupancy + matching baked sigma
+    g = (np.arange(128) + 0.5) / 128
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt((xx - 0.5) ** 2 + (yy - 0.5) ** 2 + (zz - 0.5) ** 2)
+    occ = np.zeros((8, 128, 128, 128), np.uint8)
+    occ[0] = (r < 0.25).astype(np.uint8)
+    occ[1:] = occ[0]
+    scene = raymarch.make_scene(occ, np.zeros(3), np.ones(3), np.eye(3),
+                                np.zeros(3), np.ones(3))
+    R = 64
+    gg = (np.arange(R) + 0.5) / R
+    z2, y2, x2 = np.meshgrid(gg, gg, gg, indexing="ij")
+    r2 = np.sqrt((x2 - 0.5) ** 2 + (y2 - 0.5) ** 2 + (z2 - 0.5) ** 2)
+    sigma = np.where(r2 < 0.25, 25.0, 0.0).astype(np.float32)
+    scene["sigma"] = pack_sigma_bricks(sigma)
+
+    gltf = gltf_io.load(str(write_quad_gltf(tmp_path / "q.gltf",
+                                            size=0.2, z=0.0)))
+    gltf.nodes[0].translation = np.array([0.0, 0.0, 0.35], np.float32)
+    tri_mesh = tri_ops.build_mesh_arrays([gltf])
+    xf, nm = tri_ops.instance_transforms(tri_mesh, [gltf])
+
+    opts = raymarch.MarchOptions(
+        config=CFG, jitter=False, compute_dtype="float32",
+        use_baked_sigma=True, deferred_color=True, lowres_factor=8,
+        vector_rounds=True, steps_per_round=16, advance_iters=24,
+        chunk=256, max_rounds=64)
+
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, 0] = [0.6, 0, 0]
+    cam[:, 1] = [0, 0.6, 0]
+    cam[:, 2] = [0, 0, -1.0]
+    cam[:, 3] = [0.0, 0.0, 1.2]   # mesh world (NGP - 0.5), looking -z
+    return params, scene, tri_mesh, xf, nm, opts, cam
+
+
+def test_hybrid_sharded_matches_single_device(tmp_path):
+    """The full hybrid flash path must be shard-count invariant: 8-way
+    row sharding == single device, to float tolerance."""
+    params, scene, tri_mesh, xf, nm, opts, cam = _hybrid_fixture(tmp_path)
+    W, H = 64, 32
+
+    mesh1 = sharding.make_mesh(1)
+    f1, d1 = sharding.render_hybrid_sharded(
+        params, scene, tri_mesh, xf, nm, cam, W, H, opts, mesh1)
+    mesh8 = sharding.make_mesh(8)
+    f8, d8 = sharding.render_hybrid_sharded(
+        params, scene, tri_mesh, xf, nm, cam, W, H, opts, mesh8)
+
+    assert np.isfinite(f1).all() and np.isfinite(f8).all()
+    # the frame must actually contain both NeRF and mesh content
+    assert f1[..., 3].max() > 0.5
+    np.testing.assert_allclose(f8, f1, atol=1e-5)
+    np.testing.assert_allclose(d8, d1, atol=1e-5)
+
+
+def test_hybrid_sharded_mesh_occludes_nerf(tmp_path):
+    """Surface payloads produced inside the shards must gate the march:
+    the quad sits in front of the blob, so center pixels carry the
+    mesh's depth, not the blob's."""
+    params, scene, tri_mesh, xf, nm, opts, cam = _hybrid_fixture(tmp_path)
+    W, H = 64, 32
+    mesh8 = sharding.make_mesh(8)
+    frame, depth = sharding.render_hybrid_sharded(
+        params, scene, tri_mesh, xf, nm, cam, W, H, opts, mesh8)
+    # quad at z=0.35 (mesh world), eye at z=1.2 -> t_surface ~ 0.85;
+    # blob front face at z=0.25 -> t ~ 0.95. The center ray must stop at
+    # the opaque quad BEFORE reaching the blob: full coverage, and depth
+    # stays 0 (the reference writes depth only at NeRF max-weight
+    # samples, never for the surface blend — testbed.cu:871-897).
+    cy, cx = H // 2, W // 2
+    assert frame[cy, cx, 3] > 0.9
+    assert depth[cy, cx] == 0.0
+    # red quad (write_quad_gltf base color) dominates the center pixel
+    assert frame[cy, cx, 0] > frame[cy, cx, 1] + 0.05
+    # an off-axis ray that misses the quad (half-size 0.1 -> cols
+    # 26..38) but still crosses the blob (graze at col ~43) records NeRF
+    # depth ~ its entry distance
+    assert depth[cy, 40] > 0.5, depth[cy, 40]
