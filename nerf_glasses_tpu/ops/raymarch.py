@@ -122,12 +122,24 @@ class MarchOptions:
     lowres_factor: int = 0
     lowres_iters: int = 64
     lowres_slack: float = 6.0 / 128.0
+    # Cull rays whose entire 3x3 coarse neighborhood saw no occupancy.
+    # True = fastest (the known flash failure mode: an isolated NeRF
+    # structure thinner than ~2F px between coarse samples disappears);
+    # False = SAFE default (the coarse pass only accelerates: un-hit
+    # rays start at the aabb entry and the per-epoch advance pass culls
+    # them at occupancy-gather cost, so output matches the exact baked
+    # render for any geometry; measured within noise of cull=True on
+    # the 720p bench because empty-region rays die in their first
+    # advance pass).
+    lowres_cull: bool = False
     # Gate vectorized-round samples on the occupancy grid even when the
     # baked sigma grid is available (one extra (K*n)-row gather per
     # round). Without it, rays the advance budget failed to settle
     # sample the baked grid's dilated boundary shell blindly — phantom
-    # silhouette alpha.
-    vector_occ_gate: bool = False
+    # silhouette alpha (measured on a grazing sphere: 37 dB / 0.22 mean
+    # silhouette-band alpha error ungated vs 61 dB / 0.009 gated,
+    # tests/test_flash_failures.py). Default ON.
+    vector_occ_gate: bool = True
 
     @property
     def cdtype(self):
@@ -1101,6 +1113,10 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
                     tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
             alive_img = jnp.isfinite(tmin9)
             tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
+            if not opts.lowres_cull:
+                # safe mode: un-hit rays start at the aabb entry instead
+                # of dying (see MarchOptions.lowres_cull)
+                alive_img = jnp.ones_like(alive_img)
             # nearest upsample to full res
             t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
                               F, axis=1)[:, :width].reshape(-1)

@@ -254,6 +254,8 @@ def make_hybrid_frame_sharded(mesh: Mesh, tri_mesh, opts,
                     tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
             alive_img = jnp.isfinite(tmin9)
             tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
+            if not opts.lowres_cull:
+                alive_img = jnp.ones_like(alive_img)
             t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
                               F, axis=1)[:, :width]
             a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],

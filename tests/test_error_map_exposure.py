@@ -85,23 +85,79 @@ def test_exposure_recovers_injected_brightness():
 
 
 @pytest.mark.slow
-def test_error_map_speeds_convergence():
-    """With sampling focused on high-error regions, the same step budget
-    reaches a lower loss EMA than uniform sampling on the synthetic
-    sphere scene (the mechanism behind train_until(0.00175, 10000))."""
-    def run(sample_error_map):
-        ds = make_synth_dataset()
-        opts = dataclasses.replace(TINY_OPTS,
-                                   sample_error_map=sample_error_map,
-                                   error_map_warmup=64)
-        tr = T.Trainer(ds, opts)
-        tr.occ_warmup_steps = 64
+def test_error_map_helps_on_localized_error():
+    """The upstream rationale for error-map sampling: when residual error
+    is LOCALIZED (most of the image is trivial, one patch is
+    high-frequency), guided sampling concentrates the ray budget there
+    and reaches a lower *evaluated* patch error than uniform sampling in
+    the same step budget. (Comparing sampled-loss EMAs would be
+    misleading — the guided sampler deliberately draws harder rays.)"""
+    from nerf_glasses_tpu.config import NGPConfig
+    from nerf_glasses_tpu.io.dataset import ImageMetadata, NerfDataset
+    from nerf_glasses_tpu.utils.bbox import BoundingBox
+
+    W = H = 64
+    P0, P1 = 8, 40                     # patch rows 8:24, cols 40:56
+
+    def patch_dataset():
+        ds = NerfDataset()
+        ds.n_images = 1
+        fx = 1.2 * W
+        ds.metadata = [ImageMetadata(resolution=(W, H),
+                                     focal_length=(fx, fx),
+                                     principal_point=(0.5, 0.5))]
+        xf = np.zeros((1, 3, 4), np.float32)
+        xf[0, :, :3] = np.eye(3)
+        xf[0, :, 3] = [0.5, 0.5, -0.6]
+        ds.xforms = xf
+        ds.xforms_end = xf.copy()
+        ds.paths = ["p"]
+        img = np.full((H, W, 4), 0.5, np.float32)
+        img[..., 3] = 1.0
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        checker = (((yy // 2) + (xx // 2)) % 2).astype(np.float32)
+        img[P0:P0 + 16, P1:P1 + 16, :3] = checker[..., None]
+        ds.images = [img]
+        ds.render_aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+        ds.aabb_scale = 1
+        return ds
+
+    cfg = NGPConfig(n_levels=6, log2_hashmap_size=13, base_resolution=4,
+                    per_level_scale=2.0)
+
+    def eval_mse(tr, ds):
+        """Full-image predicted-vs-target MSE via the training forward."""
+        data = tr.data
+        img_idx = jnp.zeros((W * H,), jnp.int32)
+        px = jnp.asarray(np.tile(np.arange(W), H))
+        py = jnp.asarray(np.repeat(np.arange(H), W))
+        o, d = T._gen_rays(data, img_idx, px, py, {}, False)
+        samples = T.march_training_samples(
+            tr.state["occ"], o, d, jax.random.PRNGKey(9), tr.opts,
+            tr.state["aabb_min"], tr.state["aabb_max"], 0)
+        bg = jnp.ones((W * H, 3))
+        pred, _, _ = T.forward_rays(tr.state["params"], samples, o, d, bg,
+                                    tr.opts, tr.state["aabb_min"],
+                                    tr.state["aabb_max"])
+        tgt = ds.images[0]
+        target = tgt[..., :3] + (1.0 - tgt[..., 3:])   # over white
+        err = np.asarray(pred).reshape(H, W, 3) - target
+        sq = (err ** 2).mean(axis=-1)
+        return float(sq[P0:P0 + 16, P1:P1 + 16].mean())
+
+    def run(guided):
+        ds = patch_dataset()
+        opts = dataclasses.replace(
+            TINY_OPTS, config=cfg, rays_per_batch=256, samples_per_ray=16,
+            sample_error_map=guided, error_map_warmup=64,
+            error_map_floor=0.1, compute_dtype="float32")
+        tr = T.Trainer(ds, opts, seed=11)
+        tr.occ_warmup_steps = 1 << 30
         tr.train(400)
-        return float(tr.state["loss_ema"])
+        return eval_mse(tr, ds)
 
     uniform = run(False)
     guided = run(True)
-    # comparative band, not equality: both runs are 400-step stochastic
-    # trainings; 1.15 tolerates run-to-run noise while still failing if
-    # importance sampling materially hurts convergence
-    assert guided < uniform * 1.15, (guided, uniform)
+    # guided must be measurably BETTER on the localized patch, not just
+    # "not worse" — this is the feature's reason to exist
+    assert guided < uniform * 0.7, (guided, uniform)
