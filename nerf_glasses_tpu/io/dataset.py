@@ -314,6 +314,13 @@ def load_transforms_json(path: str, load_images: bool = True) -> NerfDataset:
     ds.metadata = []
     ds.paths = []
     images = [] if load_images else None
+    # per-pixel depth supervision inputs (nerf_loader.cu:420-438,
+    # 487-488, 631-640): enable_depth_loading (default true) +
+    # integer_depth_scale gate loading frames[].depth_path (16-bit PNG);
+    # stored in NGP units = raw * integer_depth_scale * scene scale
+    enable_depth = bool(j.get("enable_depth_loading", True))
+    int_depth_scale = float(j.get("integer_depth_scale", -1.0))
+    depth_paths = []
     for i, frame in enumerate(frames):
         m = np.asarray(frame["transform_matrix"], np.float32)[:3, :4]
         xforms[i] = nerf_matrix_to_ngp(m, ds.scale, ds.offset, ds.from_mitsuba)
@@ -337,8 +344,23 @@ def load_transforms_json(path: str, load_images: bool = True) -> NerfDataset:
                               float(src.get("p1", 0)), float(src.get("p2", 0)),
                               0.0, 0.0, 0.0)
         ds.metadata.append(md)
+        dp = frame.get("depth_path")
+        depth_paths.append(os.path.join(base, dp) if dp else None)
     ds.xforms = xforms
     ds.xforms_end = xforms.copy()
+    if (load_images and enable_depth and int_depth_scale > 0.0
+            and any(depth_paths)):
+        depths = []
+        for dp in depth_paths:
+            if dp is None or not os.path.exists(dp):
+                depths.append(None)
+                continue
+            from PIL import Image
+            raw = np.asarray(Image.open(dp), np.float32)
+            if raw.ndim == 3:
+                raw = raw[..., 0]
+            depths.append(raw * int_depth_scale * ds.scale)
+        ds.depth_images = depths
     if load_images:
         # parallel image loading (ThreadPool::parallelFor analogue,
         # reference src/ngp/thread_pool.cpp used for dataset loading)

@@ -124,3 +124,35 @@ def test_depth_supervision_places_geometry():
 
     d_without = _mean_center_depth(_train(False))
     assert abs(d_without - TARGET_T) > 0.25, d_without
+
+
+def test_transforms_json_depth_loading(tmp_path):
+    """frames[].depth_path + integer_depth_scale load into NGP-unit
+    depth images (nerf_loader.cu:420-438, 487-488, 631-640)."""
+    import json
+    from PIL import Image
+    from nerf_glasses_tpu.io.dataset import load_transforms_json
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 3] = 255
+    Image.fromarray(img).save(tmp_path / "f0.png")
+    depth16 = np.full((8, 8), 1000, np.uint16)
+    Image.fromarray(depth16, mode="I;16").save(tmp_path / "d0.png")
+    doc = {
+        "camera_angle_x": 0.7,
+        "w": 8, "h": 8,
+        "scale": 0.5,
+        "integer_depth_scale": 0.001,
+        "frames": [{"file_path": "f0.png", "depth_path": "d0.png",
+                    "transform_matrix": np.eye(4).tolist()}],
+    }
+    (tmp_path / "transforms.json").write_text(json.dumps(doc))
+    ds = load_transforms_json(str(tmp_path))
+    assert ds.depth_images is not None
+    # 1000 * 0.001 * scale(0.5) = 0.5 NGP units
+    np.testing.assert_allclose(ds.depth_images[0], 0.5, rtol=1e-6)
+
+    doc["enable_depth_loading"] = False
+    (tmp_path / "transforms.json").write_text(json.dumps(doc))
+    ds2 = load_transforms_json(str(tmp_path))
+    assert ds2.depth_images is None

@@ -295,3 +295,19 @@ def test_latent_codes_train_and_roundtrip(tmp_path):
     np.testing.assert_allclose(tb.extra_dims, lat[0], atol=1e-2)
     img = tb.render(32, 32, spp=1, linear=False)
     assert np.isfinite(img).all()
+
+
+def test_train_chunk_matches_per_step():
+    """train() dispatches fused train_chunk graphs; the per-step path
+    (used with callbacks) must produce identical state."""
+    ds = make_synth_dataset(n_images=2)
+    tr_a = Trainer(ds, TINY_OPTS, seed=5)
+    tr_b = Trainer(ds, TINY_OPTS, seed=5)
+    tr_a.train(20)                                  # chunked dispatch
+    tr_b.train(20, callback=lambda s, l: None)      # per-step dispatch
+    assert tr_a.step == tr_b.step == 20
+    np.testing.assert_allclose(tr_a.loss, tr_b.loss, rtol=1e-5)
+    a = np.asarray(tr_a.state["params"]["grid"])
+    b = np.asarray(tr_b.state["params"]["grid"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert len(tr_a.loss_history) == 20
