@@ -408,6 +408,14 @@ class Testbed:
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
+            if self.config.max_cascade == 0:
+                # occupied mip-0 voxel centers for the flash voxel-splat
+                # coarse init (raymarch.flash_init) — conservative cull
+                # with no thin-structure dropout
+                occ0 = np.asarray(self._occ[0]) > 0
+                pts = np.argwhere(occ0).astype(np.float32)   # (M,3) z,y,x
+                centers = (pts[:, ::-1] + 0.5) / C.NERF_GRIDSIZE
+                scene["occ_pts"] = jnp.asarray(centers)
         if (self.config.n_extra_learnable_dims
                 and getattr(self, "extra_dims", None) is not None):
             # inference latent codes (get_inference_extra_dims,

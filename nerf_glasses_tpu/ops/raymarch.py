@@ -122,16 +122,20 @@ class MarchOptions:
     lowres_factor: int = 0
     lowres_iters: int = 64
     lowres_slack: float = 6.0 / 128.0
-    # Cull rays whose entire 3x3 coarse neighborhood saw no occupancy.
-    # True = fastest (the known flash failure mode: an isolated NeRF
-    # structure thinner than ~2F px between coarse samples disappears);
-    # False = SAFE default (the coarse pass only accelerates: un-hit
-    # rays start at the aabb entry and the per-epoch advance pass culls
-    # them at occupancy-gather cost, so output matches the exact baked
-    # render for any geometry; measured within noise of cull=True on
-    # the 720p bench because empty-region rays die in their first
-    # advance pass).
+    # RAY-WALK coarse pass only (no scene["occ_pts"]): cull rays whose
+    # entire 3x3 coarse neighborhood saw no occupancy. True = fast but
+    # UNSAFE (an isolated NeRF structure thinner than ~2F px between
+    # coarse samples disappears); False = safe but expensive (un-culled
+    # rays all enter the first march epoch: +~95 ms at 720p on v5e).
+    # Scenes carrying "occ_pts" use the VOXEL-SPLAT init instead, which
+    # culls safely by construction and ignores this flag.
     lowres_cull: bool = False
+    # Voxel-splat coarse init: min-filter radius in coarse cells. The
+    # cull/t_floor is conservative for content at camera distance
+    # >= voxel_halfdiag * width / (2*|cam_u|*radius*F) (~0.09 NGP units
+    # for 720p defaults — closer content than that would need a larger
+    # radius).
+    lowres_splat_radius: int = 3
     # Gate vectorized-round samples on the occupancy grid even when the
     # baked sigma grid is available (one extra (K*n)-row gather per
     # round). Without it, rays the advance budget failed to settle
@@ -392,6 +396,86 @@ def lowres_t_enter(scene, o, d, opts: MarchOptions):
     t, alive, _ = jax.lax.fori_loop(0, opts.lowres_iters, body,
                                     (t, alive, ~alive))
     return t, alive
+
+
+def flash_init(scene, cam, width: int, height: int, opts: MarchOptions):
+    """Flash coarse init -> (t_floor (H, W), alive (H, W) bool) for a
+    plain-perspective packed camera, traced (callable inside jit).
+
+    Two strategies:
+      - VOXEL SPLAT (scene["occ_pts"] present — (M, 3) NGP-space centers
+        of occupied mip-0 voxels): project every occupied voxel,
+        scatter-min its camera depth into the (H/F, W/F) coarse grid,
+        min-filter with radius opts.lowres_splat_radius. Every occupied
+        voxel lands in the grid by construction, so the cull is
+        conservative (no thin-structure dropout) at ~6 device ops.
+      - RAY WALK (fallback): one occupancy DDA ray per FxF block + 3x3
+        min filter (lowres_t_enter); cull only when opts.lowres_cull
+        (unsafe for sub-coarse-pitch structures).
+    """
+    F = opts.lowres_factor
+    Hl = (height + F - 1) // F
+    Wl = (width + F - 1) // F
+    if "occ_pts" in scene:
+        pts = scene["occ_pts"]
+        eye = cam[:, 3] + 0.5
+        inv = jnp.linalg.inv(cam[:, :3])
+        q = (pts - eye) @ inv.T          # (M, 3): (x_ndc*s, y_ndc*s, s)
+        qz = q[:, 2]
+        valid = qz > 1e-6
+        qs = jnp.where(valid, qz, 1.0)
+        u = q[:, 0] / qs * 0.5 + 0.5
+        v = q[:, 1] / qs * 0.5 + 0.5
+        cx = jnp.floor(u * width / F).astype(jnp.int32)
+        cy = jnp.floor(v * height / F).astype(jnp.int32)
+        inb = valid & (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
+        cell = jnp.where(inb, cy * Wl + cx, Hl * Wl)   # overflow slot
+        tgrid = jnp.full((Hl * Wl + 1,), jnp.inf).at[cell].min(qz)
+        t_img = tgrid[:-1].reshape(Hl, Wl)
+        R = opts.lowres_splat_radius
+        K = 2 * R + 1
+        p = jnp.pad(t_img, R, mode="constant", constant_values=jnp.inf)
+        tmin = t_img
+        for dy in range(K):            # separable would save ops; K is
+            for dx in range(K):        # small and the grid is tiny
+                if dy == R and dx == R:
+                    continue
+                tmin = jnp.minimum(tmin, p[dy:dy + Hl, dx:dx + Wl])
+        alive_img = jnp.isfinite(tmin)
+        tmin = jnp.where(alive_img, tmin - opts.lowres_slack, 0.0)
+        return tmin, alive_img
+
+    lx = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
+    ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
+    ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
+    vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
+    ndc = jnp.stack([ul, vl, jnp.ones((Hl, Wl))], -1).reshape(-1, 3)
+    ld = ndc @ cam[:, :3].T
+    ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+    lo = jnp.broadcast_to(cam[:, 3] + 0.5, ld.shape)
+    t_l, hit_l = lowres_t_enter(scene, lo, ld, opts)
+    t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
+    p9 = jnp.pad(t_img, 1, mode="edge")
+    tmin9 = t_img
+    for dy in range(3):
+        for dx in range(3):
+            tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
+    alive_img = jnp.isfinite(tmin9)
+    tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
+    if not opts.lowres_cull:
+        # safe mode: un-hit rays start at the aabb entry instead of
+        # dying (see MarchOptions.lowres_cull)
+        alive_img = jnp.ones_like(alive_img)
+    return tmin9, alive_img
+
+
+def upsample_flash_init(tmin, alive_img, width: int, height: int, F: int):
+    """(H/F, W/F) coarse init -> flattened full-res (t_floor, alive)."""
+    t_up = jnp.repeat(jnp.repeat(tmin, F, axis=0)[:height],
+                      F, axis=1)[:, :width].reshape(-1)
+    a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],
+                      F, axis=1)[:, :width].reshape(-1)
+    return t_up, a_up
 
 
 def _make_state(scene, o, d, surface_rgba, t_surface, opts, sample_index,
@@ -1090,38 +1174,9 @@ def _get_frame_fn(opts: MarchOptions, width: int, height: int,
                      and opts.aperture_size == 0.0)
         t_floor = alive_mask = None
         if plain_cam and opts.lowres_factor > 1:
-            # flash init: coarse occupancy walk (one ray per FxF block),
-            # 3x3 conservative min-filter, nearest upsample
-            F = opts.lowres_factor
-            Hl = (height + F - 1) // F
-            Wl = (width + F - 1) // F
-            lx = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
-            ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
-            ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
-            vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
-            ndc = jnp.stack([ul, vl, jnp.ones((Hl, Wl))], -1).reshape(-1, 3)
-            ld = ndc @ cam[:, :3].T
-            ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
-            lo = jnp.broadcast_to(cam[:, 3] + 0.5, ld.shape)
-            t_l, hit_l = lowres_t_enter(scene, lo, ld, opts)
-            t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
-            # 3x3 min filter (edge-padded)
-            p9 = jnp.pad(t_img, 1, mode="edge")
-            tmin9 = t_img
-            for dy in range(3):
-                for dx in range(3):
-                    tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
-            alive_img = jnp.isfinite(tmin9)
-            tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
-            if not opts.lowres_cull:
-                # safe mode: un-hit rays start at the aabb entry instead
-                # of dying (see MarchOptions.lowres_cull)
-                alive_img = jnp.ones_like(alive_img)
-            # nearest upsample to full res
-            t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
-                              F, axis=1)[:, :width].reshape(-1)
-            a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],
-                              F, axis=1)[:, :width].reshape(-1)
+            tmin, alive_img = flash_init(scene, cam, width, height, opts)
+            t_up, a_up = upsample_flash_init(tmin, alive_img, width,
+                                             height, opts.lowres_factor)
             if pad:
                 t_floor = jnp.concatenate([t_up, jnp.zeros((pad,))])
                 alive_mask = jnp.concatenate(

@@ -133,8 +133,7 @@ def make_hybrid_frame_sharded(mesh: Mesh, tri_mesh, opts,
 
     from nerf_glasses_tpu.ops import triangles as tri_ops
     from nerf_glasses_tpu.ops.colors import linear_to_srgb
-    from nerf_glasses_tpu.ops.raymarch import (_shade_frame, lowres_t_enter,
-                                               march_frame_impl)
+    from nerf_glasses_tpu.ops.raymarch import _shade_frame, march_frame_impl
 
     n_dev = mesh.devices.size
     assert height % n_dev == 0, (height, n_dev)
@@ -233,33 +232,15 @@ def make_hybrid_frame_sharded(mesh: Mesh, tri_mesh, opts,
 
     def full(params, scene, xforms, nrm_mats, cam, light, pix_offset):
         if flash:
-            # replicated flash coarse init over the whole frame (seam-free)
-            F = opts.lowres_factor
-            Hl = (height + F - 1) // F
-            Wl = (width + F - 1) // F
-            lx = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 1)
-            ly = jax.lax.broadcasted_iota(jnp.float32, (Hl, Wl), 0)
-            ul = (lx * F + 0.5 * F) / width * 2.0 - 1.0
-            vl = (ly * F + 0.5 * F) / height * 2.0 - 1.0
-            ndc = jnp.stack([ul, vl, jnp.ones((Hl, Wl))], -1).reshape(-1, 3)
-            ld = ndc @ cam[:, :3].T
-            ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
-            lo = jnp.broadcast_to(cam[:, 3] + 0.5, ld.shape)
-            t_l, hit_l = lowres_t_enter(scene, lo, ld, opts)
-            t_img = jnp.where(hit_l, t_l, jnp.inf).reshape(Hl, Wl)
-            p9 = jnp.pad(t_img, 1, mode="edge")
-            tmin9 = t_img
-            for dy in range(3):
-                for dx in range(3):
-                    tmin9 = jnp.minimum(tmin9, p9[dy:dy + Hl, dx:dx + Wl])
-            alive_img = jnp.isfinite(tmin9)
-            tmin9 = jnp.where(alive_img, tmin9 - opts.lowres_slack, 0.0)
-            if not opts.lowres_cull:
-                alive_img = jnp.ones_like(alive_img)
-            t_up = jnp.repeat(jnp.repeat(tmin9, F, axis=0)[:height],
-                              F, axis=1)[:, :width]
-            a_up = jnp.repeat(jnp.repeat(alive_img, F, axis=0)[:height],
-                              F, axis=1)[:, :width]
+            # replicated flash coarse init over the whole frame
+            # (seam-free; voxel-splat when scene carries occ_pts)
+            from nerf_glasses_tpu.ops.raymarch import (flash_init,
+                                                       upsample_flash_init)
+            tmin, alive_img = flash_init(scene, cam, width, height, opts)
+            t_up, a_up = upsample_flash_init(tmin, alive_img, width,
+                                             height, opts.lowres_factor)
+            t_up = t_up.reshape(height, width)
+            a_up = a_up.reshape(height, width)
         else:
             t_up = jnp.zeros((height, width))
             a_up = jnp.zeros((height, width), bool)

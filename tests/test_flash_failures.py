@@ -34,8 +34,11 @@ def _psnr(a, b):
     return 99.0 if mse <= 0 else float(10.0 * np.log10(1.0 / mse))
 
 
-def _scene_from_mask(mask128, sigma=30.0):
-    """occupancy + baked sigma from a (128,128,128) [z,y,x] bool mask."""
+def _scene_from_mask(mask128, sigma=30.0, occ_pts=True):
+    """occupancy + baked sigma from a (128,128,128) [z,y,x] bool mask.
+    occ_pts=True additionally attaches the occupied voxel centers, which
+    switches flash_init to the voxel-splat path (what Testbed._scene
+    produces for baked scenes)."""
     occ = np.zeros((8, 128, 128, 128), np.uint8)
     occ[:] = mask128.astype(np.uint8)[None]
     scene = raymarch.make_scene(occ, np.zeros(3), np.ones(3), np.eye(3),
@@ -44,6 +47,9 @@ def _scene_from_mask(mask128, sigma=30.0):
     m = mask128.reshape(64, 2, 64, 2, 64, 2).any(axis=(1, 3, 5))
     scene["sigma"] = pack_sigma_bricks(
         np.where(m, sigma, 0.0).astype(np.float32))
+    if occ_pts:
+        pts = np.argwhere(mask128).astype(np.float32)
+        scene["occ_pts"] = jnp.asarray((pts[:, ::-1] + 0.5) / 128.0)
     return scene
 
 
@@ -81,23 +87,38 @@ def _thin_slab_mask():
     return m
 
 
-def test_flash_safe_mode_renders_thin_slab():
+def test_flash_splat_init_renders_thin_slab():
+    """The voxel-splat coarse init culls conservatively: the thin slab
+    survives at full fidelity (its voxels all project into the coarse
+    grid, unlike coarse-ray sampling which steps over it)."""
     params = init_params(jax.random.PRNGKey(0), CFG)
     scene = _scene_from_mask(_thin_slab_mask())
     exact = _render(params, scene, _opts())
-    flash_safe = _render(params, scene, _opts(**FLASH, lowres_cull=False))
+    flash = _render(params, scene, _opts(**FLASH))
     # the slab is visible at all in the exact render
     assert exact[..., 3].max() > 0.5
+    p = _psnr(flash, exact)
+    assert p > 30.0, p
+
+
+def test_flash_raywalk_safe_mode_renders_thin_slab():
+    """Without occ_pts the ray-walk fallback with lowres_cull=False must
+    also keep the slab (un-culled rays start at the aabb entry)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    scene = _scene_from_mask(_thin_slab_mask(), occ_pts=False)
+    exact = _render(params, scene, _opts())
+    flash_safe = _render(params, scene, _opts(**FLASH, lowres_cull=False))
     p = _psnr(flash_safe, exact)
     assert p > 30.0, p
 
 
-def test_flash_cull_mode_drops_thin_slab():
-    """The documented failure mode of lowres_cull=True, pinned: most of
-    the thin slab's coverage disappears (this is WHY the safe mode is
-    the default)."""
+def test_flash_raywalk_cull_mode_drops_thin_slab():
+    """The documented failure mode of the RAY-WALK path with
+    lowres_cull=True, pinned: most of the thin slab's coverage
+    disappears (this is why baked scenes attach occ_pts and use the
+    splat init instead)."""
     params = init_params(jax.random.PRNGKey(0), CFG)
-    scene = _scene_from_mask(_thin_slab_mask())
+    scene = _scene_from_mask(_thin_slab_mask(), occ_pts=False)
     exact = _render(params, scene, _opts())
     flash_cull = _render(params, scene, _opts(**FLASH, lowres_cull=True))
     cov_exact = float((exact[..., 3] > 0.3).sum())
@@ -128,16 +149,16 @@ def test_flash_silhouette_grazing_sphere():
         assert float(d.mean()) < 0.15, float(d.mean())
 
 
-def test_flash_isolated_floater_safe_mode():
+def test_flash_isolated_floater_splat_init():
     """An isolated 3-voxel floater (the remove_floaties target) between
-    coarse samples: safe mode must still render it."""
+    coarse samples: the splat init must still render it."""
     m = np.zeros((128, 128, 128), bool)
     m[60:63, 60:63, 60:63] = True
     params = init_params(jax.random.PRNGKey(2), CFG)
     scene = _scene_from_mask(m, sigma=80.0)
     exact = _render(params, scene, _opts())
-    flash_safe = _render(params, scene, _opts(**FLASH, lowres_cull=False))
+    flash = _render(params, scene, _opts(**FLASH))
     cov_exact = float((exact[..., 3] > 0.3).sum())
-    cov_safe = float((flash_safe[..., 3] > 0.3).sum())
+    cov_flash = float((flash[..., 3] > 0.3).sum())
     assert cov_exact >= 1
-    assert cov_safe > 0.5 * cov_exact, (cov_safe, cov_exact)
+    assert cov_flash > 0.5 * cov_exact, (cov_flash, cov_exact)

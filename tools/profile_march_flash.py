@@ -27,15 +27,12 @@ import bench
 REPS = 6
 
 VARIANTS = [
-    ("default (gate on, safe)", {}),
-    ("gate off", {"vector_occ_gate": False}),
-    ("cull on", {"lowres_cull": True}),
-    ("gate off + cull on (r2 cfg)", {"vector_occ_gate": False,
-                                     "lowres_cull": True}),
+    ("default (splat, gate on)", {}),
+    ("splat, gate off", {"vector_occ_gate": False}),
     ("floor (max_rounds=1)", {"max_rounds": 1}),
-    ("rounds_per_epoch=2", {"rounds_per_epoch": 2}),
-    ("chunk=8192", {"chunk": 8192}),
     ("chunk=2048", {"chunk": 2048}),
+    ("chunk=8192", {"chunk": 8192}),
+    ("steps_per_round=32", {"steps_per_round": 32}),
 ]
 
 
