@@ -161,7 +161,7 @@ def build_capture_dataset():
 
 
 def train_capture_snapshot(path: str, max_steps: int = 3000,
-                           target_loss: float = 0.0005,
+                           target_loss: float = 0.00175,
                            log_every: int = 0):
     """Train the capture with the repo's own trainer and save an
     NGP-format snapshot (the volume/train.py contract). Returns the

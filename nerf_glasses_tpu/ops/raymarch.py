@@ -75,9 +75,9 @@ class MarchOptions:
     jitter: bool = True
     compute_dtype: str = "bfloat16"
     # march_frame compaction parameters (tuned on v5e: small chunks keep
-    # straggler epochs cheap — 0.28s/frame at 4096/1 vs 1.0s at 32768/2
-    # on the 720p bench scene)
-    chunk: int = 1 << 12         # rays per compacted chunk
+    # straggler epochs cheap — r3 probe on the 720p bench flash frame:
+    # 128.7 ms at 2048 vs 140.8 at 4096 vs 146.8 at 8192)
+    chunk: int = 1 << 11         # rays per compacted chunk
     rounds_per_epoch: int = 1    # K-sample rounds between compactions
     # Baked-density fast path (ops/bake.py): sigma from a trilinear grid
     # lookup; the full network runs only for samples whose prospective
