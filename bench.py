@@ -144,7 +144,8 @@ def time_orbit(renderer, n_frames=N_FRAMES, n_warmup=1):
 
 
 FLASH_SIG_OVERRIDES = {"lowres_factor": 8, "advance_iters": 24,
-                       "vector_rounds": True, "steps_per_round": 16}
+                       "vector_rounds": True, "steps_per_round": 16,
+                       "chunk": 1 << 11}
 
 
 def fidelity_frame(renderer, cam_state=None):
@@ -247,6 +248,9 @@ def bench_trained_scene(quick=False):
     renderer, nerf = make_renderer(snap)
     nerf.render_aabb.min = np.array([0.1, 0.1, 0.1], np.float32)
     nerf.render_aabb.max = np.array([0.9, 0.9, 0.9], np.float32)
+    # the reference flow cleans stray density clusters before rendering
+    # (render.py optional remove_floaties; essential on a real capture)
+    renderer.remove_floaties()
     cam0 = cam_snapshot(renderer)
     frame_unb = fidelity_frame(renderer, cam0)
     nerf.bake(256)

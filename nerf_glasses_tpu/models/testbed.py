@@ -386,6 +386,7 @@ class Testbed:
                 kw["advance_iters"] = 24
                 kw["vector_rounds"] = True
                 kw["steps_per_round"] = 16
+                kw["chunk"] = 1 << 11   # no network in the march
         if getattr(self, "aperture_size", 0.0) > 0.0:
             # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
             kw["aperture_size"] = float(self.aperture_size)

@@ -89,6 +89,19 @@ def corner_indices_and_weights(pos, scale: float, resolution: int,
     return idx.astype(jnp.int32), weights
 
 
+def _take_rows(tab, idx):
+    """tab (S, W), idx (N, 8) -> (N, 8, W) batched-row gather.
+
+    The backward (scatter-add into the table) dominates the training
+    step. A custom VJP splitting it into 8 per-corner scatters wins the
+    microbenchmark (86 vs 59 M rows/s, tools/profile_scatter.py) but
+    LOSES in the real step (204.3 vs 197.1 ms/step, 3 interleaved
+    rounds on v5e) — XLA schedules the single fused transpose better in
+    context. Keep autodiff's native transpose."""
+    return jnp.take(tab, idx.reshape(-1), axis=0).reshape(
+        idx.shape + (tab.shape[-1],))
+
+
 def hash_encode_soa(table: jnp.ndarray, px, py, pz, config: NGPConfig,
                     compute_dtype=jnp.float32) -> jnp.ndarray:
     """table: (L, S, W) uniform-padded; px/py/pz: (N,) components in [0,1]
@@ -118,7 +131,7 @@ def hash_encode_soa(table: jnp.ndarray, px, py, pz, config: NGPConfig,
             pos, float(scales[lvl]), int(res[lvl]), int(sizes[lvl]),
             bool(dense[lvl]))
         tab_l = table[lvl]
-        vals = jnp.take(tab_l, idx.reshape(-1), axis=0).reshape(n, 8, -1)
+        vals = _take_rows(tab_l, idx)                      # (n, 8, W)
         f = jnp.sum(vals.astype(compute_dtype)
                     * w[..., None].astype(compute_dtype), axis=1)
         feats.append(f[:, :F])

@@ -74,10 +74,12 @@ class MarchOptions:
     min_mip: int = 0
     jitter: bool = True
     compute_dtype: str = "bfloat16"
-    # march_frame compaction parameters (tuned on v5e: small chunks keep
-    # straggler epochs cheap — r3 probe on the 720p bench flash frame:
-    # 128.7 ms at 2048 vs 140.8 at 4096 vs 146.8 at 8192)
-    chunk: int = 1 << 11         # rays per compacted chunk
+    # march_frame compaction parameters (tuned on v5e). Paths that run
+    # the NETWORK inside the march want 4096 (bigger MXU batches: the
+    # 720p unbaked frame halved in fps at 2048); the flash path (no
+    # network in the march) wants 2048 (128.7 ms vs 140.8 at 4096 —
+    # set explicitly by the flash option bundles).
+    chunk: int = 1 << 12         # rays per compacted chunk
     rounds_per_epoch: int = 1    # K-sample rounds between compactions
     # Baked-density fast path (ops/bake.py): sigma from a trilinear grid
     # lookup; the full network runs only for samples whose prospective

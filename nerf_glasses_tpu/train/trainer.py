@@ -45,11 +45,14 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
 @dataclasses.dataclass(frozen=True)
 class TrainOptions:
     config: NGPConfig
-    # 2048 rays x 96 max samples ~ upstream's ~256k-sample compacted
-    # batches; 4096x128 with full backward buffers exceeds one v5e's HBM
-    # for the full-size (T=2^19) network.
+    # 2048 rays x 64 max samples: the step cost is linear in
+    # rays*samples (dominated by the hash-table gradient scatter,
+    # tools/profile_train.py / profile_scatter.py), and 64 stratified
+    # samples still cover a converged ray's occupied span at ~2.5x the
+    # render step size. 4096x128 with full backward buffers exceeds one
+    # v5e's HBM for the full-size (T=2^19) network.
     rays_per_batch: int = 1 << 11
-    samples_per_ray: int = 96
+    samples_per_ray: int = 64
     # occupancy-DDA hops in the (non-differentiable) pass that measures
     # each training ray's occupied length before stratified sampling
     march_hops: int = 128
