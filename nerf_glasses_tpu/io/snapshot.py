@@ -143,8 +143,12 @@ def save_snapshot(path: str, config: NGPConfig, params_blob_f32: np.ndarray,
     """Write a reference-compatible snapshot (save is upstream-only in the
     reference; schema per load path, testbed.cu:939-1002)."""
     n_casc = density_grid_linear.shape[0]
-    grid_morton = linear_cascades_to_morton(
-        np.asarray(density_grid_linear, np.float32)).astype(np.float16)
+    # the grid is stored fp16 (snapshot schema); trained sigmas can
+    # exceed fp16 range — clamp instead of overflowing to inf
+    grid_morton = np.clip(
+        linear_cascades_to_morton(np.asarray(density_grid_linear,
+                                             np.float32)),
+        -65504.0, 65504.0).astype(np.float16)
 
     doc = dict(config.to_snapshot_config())
     doc["snapshot"] = {

@@ -30,9 +30,15 @@ VARIANTS = [
     ("default (splat, gate on)", {}),
     ("splat, gate off", {"vector_occ_gate": False}),
     ("floor (max_rounds=1)", {"max_rounds": 1}),
-    ("chunk=2048", {"chunk": 2048}),
+    ("chunk=4096", {"chunk": 4096}),
     ("chunk=8192", {"chunk": 8192}),
     ("steps_per_round=32", {"steps_per_round": 32}),
+    ("rounds_per_epoch=2", {"rounds_per_epoch": 2}),
+    ("rounds_per_epoch=4", {"rounds_per_epoch": 4}),
+    ("advance_iters=8", {"advance_iters": 8}),
+    ("advance_iters=48", {"advance_iters": 48}),
+    ("spr=32,rpe=2,chunk=4096", {"steps_per_round": 32,
+                                 "rounds_per_epoch": 2, "chunk": 4096}),
 ]
 
 
