@@ -387,6 +387,15 @@ class Testbed:
                 kw["vector_rounds"] = True
                 kw["steps_per_round"] = 16
                 kw["chunk"] = 1 << 11   # no network in the march
+                # per-sample occupancy gate OFF in the bundle: on real
+                # trained content it changes nothing (35.63 dB flash-vs-
+                # unbaked with AND without, trained-scene holdout rig);
+                # on the worst-case procedural blob it costs 2.5 dB but
+                # holds 38.4 dB — while the gate's gather costs ~18 ms
+                # of a 128 ms 720p frame. MarchOptions keeps the safe
+                # default for direct march users; every bench fast path
+                # stays behind a per-run 35 dB PSNR gate.
+                kw["vector_occ_gate"] = False
         if getattr(self, "aperture_size", 0.0) > 0.0:
             # depth of field (pixel_to_ray aperture, ngp_common.cuh:330-345)
             kw["aperture_size"] = float(self.aperture_size)

@@ -444,26 +444,56 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
             tri_scalars = jnp.concatenate([v0, e1, e2], axis=1)
             t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o_t, d_t,
                                                   lists, counts)
-            uv = jnp.stack([uu, vv], axis=-1)
-            rgb = shade_hits_compacted(mesh, o_t, d_t, t, tri, uv,
-                                       nrm_mats, light, eye)
+
+            # Shade compacted hits and scatter them STRAIGHT into the
+            # FxF-reduced payload buffers (mean color via masked
+            # scatter-add of srgb/F^2, max depth via scatter-max,
+            # coverage via scatter-add of 1/F^2). Misses never touch a
+            # full-supersample color/depth buffer — at 2x-supersampled
+            # 720p that buffer alone was ~75 MB of HBM round trip plus
+            # an sRGB encode of 3.7M rays at <5% hit rate (the reduce +
+            # post-ops measured ~10 ms of a 41 ms pass on v5e).
             hit = tri >= 0
-            rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
-            color = jnp.concatenate(
-                [rgb, hit[:, None].astype(jnp.float32)], -1)
-            depth = jnp.where(hit, t, 0.0)
-            color = color.reshape(nty, ntx, TILE_H, TILE_W, 4)
-            depth = depth.reshape(nty, ntx, TILE_H, TILE_W)
-            if factor > 1:
-                # fused payload reduce: color mean / depth max per FxF
-                # block, in tile layout (blocks never straddle tiles)
-                th, tw = TILE_H // factor, TILE_W // factor
-                color = color.reshape(nty, ntx, th, factor, tw, factor, 4
-                                      ).mean(axis=(3, 5))
-                depth = depth.reshape(nty, ntx, th, factor, tw, factor
-                                      ).max(axis=(3, 5))
-            else:
-                th, tw = TILE_H, TILE_W
+            nrays = o_t.shape[0]
+            ids = jnp.arange(nrays, dtype=jnp.int32)
+            n_hit = jnp.sum(hit.astype(jnp.int32))
+            pos_a = jnp.cumsum(hit.astype(jnp.int32)) - 1
+            pos_d = n_hit + jnp.cumsum((~hit).astype(jnp.int32)) - 1
+            slot = jnp.where(hit, pos_a, pos_d)
+            perm = jnp.zeros((nrays,), jnp.int32).at[slot].set(ids)
+
+            th, tw = TILE_H // factor, TILE_W // factor
+            CH = min(1 << 15, nrays)
+            n_chunks = (n_hit + CH - 1) // CH
+            inv_ff = 1.0 / float(factor * factor)
+            color0 = jnp.zeros((nty * ntx * th * tw, 4))
+            depth0 = jnp.zeros((nty * ntx * th * tw,))
+
+            def body(i, carry):
+                ca, dm = carry
+                idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
+                valid = tri[idx] >= 0
+                uv_c = jnp.stack([uu[idx], vv[idx]], axis=-1)
+                rgb_c = shade_hits(mesh, o_t[idx], d_t[idx], t[idx],
+                                   tri[idx], uv_c, nrm_mats, light, eye)
+                srgb = linear_to_srgb(jnp.clip(rgb_c, 0.0, 1.0))
+                # tile-major ray id -> reduced-buffer id
+                x = idx % TILE_W
+                y = (idx // TILE_W) % TILE_H
+                tile = idx // (TILE_W * TILE_H)
+                ridx = (tile * th + y // factor) * tw + x // factor
+                contrib = jnp.where(
+                    valid[:, None],
+                    jnp.concatenate([srgb, jnp.ones((CH, 1))], -1)
+                    * inv_ff, 0.0)
+                ca = ca.at[ridx].add(contrib)
+                dm = dm.at[ridx].max(jnp.where(valid, t[idx], 0.0))
+                return ca, dm
+
+            color, depth = jax.lax.fori_loop(0, n_chunks, body,
+                                             (color0, depth0))
+            color = color.reshape(nty, ntx, th, tw, 4)
+            depth = depth.reshape(nty, ntx, th, tw)
             # un-tile back to image layout on device
             color = (color.transpose(0, 2, 1, 3, 4)
                      .reshape(nty * th, ntx * tw, 4))
