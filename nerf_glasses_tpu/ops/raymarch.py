@@ -52,6 +52,7 @@ from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
 from nerf_glasses_tpu.ops.bake import sample_sigma_bricks
+from nerf_glasses_tpu.ops.compaction import stable_partition_ids
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           apply_network,
                                           apply_rgb_activation)
@@ -113,6 +114,11 @@ class MarchOptions:
     # weight. Exact for a surface whose color is locally constant over
     # the crossing; the bench PSNR gate bounds the real deviation.
     deferred_color: bool = False
+    # Chunk size of the deferred-shade pass (None = the march chunk).
+    # Probed on v5e: decoupling to 8192 for bigger MXU batches LOSES
+    # (6.80 vs 7.21 fps on the hybrid flash frame, same-run interleaved)
+    # — this backend consistently prefers small chunks.
+    shade_chunk: int = None
     # Flash init: walk the occupancy grid at 1/lowres_factor resolution
     # (one ray per FxF pixel block), min-filter the first-hit distances
     # over a 3x3 low-res neighborhood minus a slack margin, and start
@@ -275,6 +281,19 @@ def _read_image2(grid, uv):
 def _contains_local(pos, scene):
     local_pos = pos @ scene["local"].T
     return contains_aabb(local_pos, scene["render_min"], scene["render_max"])
+
+
+def _ray_exit_t(o, d, scene):
+    """Per-ray render-aabb exit distance -> (N,). Inside-the-box tests in
+    marching loops reduce to `t <= t_exit` (the aabb is convex and t only
+    grows), replacing a per-iteration rotate+compare of the position
+    (~6 ops) with one compare. Rays that miss the box entirely get -inf
+    (never inside), matching contains' False."""
+    ol = o @ scene["local"].T
+    dl = d @ scene["local"].T
+    _, tmax = ray_intersect_aabb(ol, dl, scene["render_min"],
+                                 scene["render_max"])
+    return jnp.where(tmax >= jnp.float32(3e38), -jnp.inf, tmax)
 
 
 def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
@@ -527,13 +546,14 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
     has_surface = t_surface > 0.0
 
     surf_live = has_surface & (st["surf_a"] > 0.0)
+    t_exit = _ray_exit_t(o, d, scene)
 
     def body(_, carry):
         t, alive, settled = carry
         active = ~settled & alive
         pos = o + d * t[:, None]
         surf_pending = surf_live & (t >= t_surface)
-        inside = _contains_local(pos, scene)
+        inside = t <= t_exit
         dt = occ_ops.calc_dt(t - st["t_start"], opts.cone_angle)
         occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
@@ -611,7 +631,7 @@ def _march_round(st, params, scene, opts: MarchOptions):
         pos_k = o[None] + d[None] * t_i[..., None]               # (K, n, 3)
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
-        inside = _contains_local(pos_k.reshape(-1, 3), scene).reshape(K, n)
+        inside = t_i <= _ray_exit_t(o, d, scene)[None]
         if opts.use_baked_sigma and not opts.vector_occ_gate:
             # the baked grid is occupancy-masked and ~zero in empty
             # space — skip the per-sample occupancy gather entirely
@@ -682,14 +702,8 @@ def _march_round(st, params, scene, opts: MarchOptions):
             # the deferred pass adds each ray's color at the end
             rgb_s = jnp.zeros((K, n, 3))
         else:
-            flat_sig = sig.reshape(-1)
             total = K * n
-            ids = jnp.arange(total, dtype=jnp.int32)
-            n_sig = jnp.sum(flat_sig.astype(jnp.int32))
-            pos_a = jnp.cumsum(flat_sig.astype(jnp.int32)) - 1
-            pos_d = n_sig + jnp.cumsum((~flat_sig).astype(jnp.int32)) - 1
-            slot = jnp.where(flat_sig, pos_a, pos_d)
-            perm = jnp.zeros((total,), jnp.int32).at[slot].set(ids)
+            perm, n_sig = stable_partition_ids(sig.reshape(-1))
 
             SUB = min(opts.color_subchunk, total)
             n_sub = (n_sig + SUB - 1) // SUB
@@ -799,15 +813,9 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
     cfg = opts.config
     wn = st["wn"]
     n = wn.shape[0]
-    need = wn > 1e-4
-    ids = jnp.arange(n, dtype=jnp.int32)
-    n_sig = jnp.sum(need.astype(jnp.int32))
-    pos_a = jnp.cumsum(need.astype(jnp.int32)) - 1
-    pos_d = n_sig + jnp.cumsum((~need).astype(jnp.int32)) - 1
-    slot = jnp.where(need, pos_a, pos_d)
-    perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+    perm, n_sig = stable_partition_ids(wn > 1e-4)
 
-    CH = min(opts.chunk, n)
+    CH = min(opts.shade_chunk or opts.chunk, n)
     n_chunks = (n_sig + CH - 1) // CH
     extent = scene["train_max"] - scene["train_min"]
 
@@ -937,7 +945,6 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
     else:
         zero_keys += ["wn"]
 
-    ids = jnp.arange(n, dtype=jnp.int32)
     epoch_rounds = opts.rounds_per_epoch
     max_epochs = max(1, opts.max_rounds // epoch_rounds)
 
@@ -947,14 +954,8 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
 
     def outer_body(carry):
         st, epoch = carry
-        alive = st["alive"]
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-
         # sort-free stable partition: alive ray ids first
-        pos_alive = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        pos_dead = n_alive + jnp.cumsum((~alive).astype(jnp.int32)) - 1
-        slot = jnp.where(alive, pos_alive, pos_dead)
-        perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+        perm, n_alive = stable_partition_ids(st["alive"])
 
         n_chunks = (n_alive + CH - 1) // CH
 

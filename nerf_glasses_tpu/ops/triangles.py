@@ -28,6 +28,7 @@ import numpy as np
 
 from nerf_glasses_tpu.io.gltf import GltfMaterial, GltfNode, GltfScene
 from nerf_glasses_tpu.ops.colors import linear_to_srgb
+from nerf_glasses_tpu.ops.compaction import stable_partition_ids
 
 _BIG = np.float32(1e16)
 
@@ -353,13 +354,7 @@ def shade_hits_compacted(mesh: MeshArrays, o, d, t, tri, uv_bary, nrm_mats,
     march's ray compaction and shades fixed-size chunks, so cost scales
     with hits. Returns (N, 3) rgb with zeros at misses."""
     n = t.shape[0]
-    hit = tri >= 0
-    ids = jnp.arange(n, dtype=jnp.int32)
-    n_hit = jnp.sum(hit.astype(jnp.int32))
-    pos_a = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    pos_d = n_hit + jnp.cumsum((~hit).astype(jnp.int32)) - 1
-    slot = jnp.where(hit, pos_a, pos_d)
-    perm = jnp.zeros((n,), jnp.int32).at[slot].set(ids)
+    perm, n_hit = stable_partition_ids(tri >= 0)
 
     CH = min(chunk, n)
     n_chunks = (n_hit + CH - 1) // CH
@@ -453,14 +448,8 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
             # 720p that buffer alone was ~75 MB of HBM round trip plus
             # an sRGB encode of 3.7M rays at <5% hit rate (the reduce +
             # post-ops measured ~10 ms of a 41 ms pass on v5e).
-            hit = tri >= 0
             nrays = o_t.shape[0]
-            ids = jnp.arange(nrays, dtype=jnp.int32)
-            n_hit = jnp.sum(hit.astype(jnp.int32))
-            pos_a = jnp.cumsum(hit.astype(jnp.int32)) - 1
-            pos_d = n_hit + jnp.cumsum((~hit).astype(jnp.int32)) - 1
-            slot = jnp.where(hit, pos_a, pos_d)
-            perm = jnp.zeros((nrays,), jnp.int32).at[slot].set(ids)
+            perm, n_hit = stable_partition_ids(tri >= 0)
 
             th, tw = TILE_H // factor, TILE_W // factor
             CH = min(1 << 15, nrays)

@@ -162,3 +162,21 @@ def test_pack_camera_quirk():
 
 def test_fov_to_focal_length():
     assert abs(fov_to_focal_length(1, 45.0) - 0.5 / math.tan(math.radians(22.5))) < 1e-6
+
+
+def test_stable_partition_ids_matches_naive():
+    """Block-decomposed partition == two-cumsum partition, both the
+    matmul path (N % 512 == 0) and the fallback (odd N)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nerf_glasses_tpu.ops.compaction import stable_partition_ids
+
+    rng = np.random.default_rng(7)
+    for n, frac in ((2048, 0.3), (4096, 0.0), (1536, 1.0), (1000, 0.4)):
+        mask = rng.uniform(size=(n,)) < frac
+        perm, n_true = stable_partition_ids(jnp.asarray(mask))
+        perm = np.asarray(perm)
+        ids = np.arange(n)
+        want = np.concatenate([ids[mask], ids[~mask]])
+        assert int(n_true) == int(mask.sum())
+        assert np.array_equal(perm, want), (n, frac)
