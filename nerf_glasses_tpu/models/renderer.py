@@ -17,6 +17,7 @@ Per-frame pipeline (render_frame, nerf_mesh_renderer.cu:543-599):
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import List, Optional
 
@@ -344,7 +345,9 @@ class NerfMeshRenderer:
         cleaned, n_clusters = remove_floaties(grid)
         self.load_density_grid_array(cleaned)
         dt = (time.monotonic() - t0) * 1000.0
-        print(f"{n_clusters}   {dt:.3f} ms")
+        # the reference printf's the cluster count + elapsed; stderr so
+        # bench.py's one-JSON-line stdout contract stays clean
+        print(f"{n_clusters}   {dt:.3f} ms", file=sys.stderr)
 
     # ------------------------------------------------------------------
     # Collide: gravity-style settling of a mesh against the NeRF
