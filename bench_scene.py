@@ -22,7 +22,7 @@ import numpy as np
 
 from nerf_glasses_tpu.utils.camera import V_LENGTH_QUIRK, look_to, pack_camera
 
-SCENE_VERSION = 2
+SCENE_VERSION = 3
 W = H = 400
 N_TRAIN = 24
 N_HOLDOUT = 4
@@ -161,7 +161,7 @@ def build_capture_dataset():
 
 
 def train_capture_snapshot(path: str, max_steps: int = 4000,
-                           target_loss: float = 0.0007,
+                           target_loss: float = 0.00175,
                            log_every: int = 0):
     """Train the capture with the repo's own trainer and save an
     NGP-format snapshot (the volume/train.py contract). Returns the

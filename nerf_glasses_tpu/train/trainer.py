@@ -187,9 +187,27 @@ def make_train_state(key, opts: TrainOptions, aabb_min, aabb_max,
 
 
 def prepare_dataset_arrays(ds: NerfDataset) -> Dict[str, jnp.ndarray]:
-    """Stack dataset images/cameras into device arrays."""
+    """Stack dataset images/cameras into device arrays.
+
+    LDR color space: the dataset carries linear premultiplied rgba (the
+    pyngp set_image contract), but for LDR content the network is
+    supervised in sRGB space — upstream converts to sRGB at image-set
+    time (python_api.cu set_image -> linear_to_srgb) and both its
+    compositing and its renderer's shade step treat the MLP's rgb output
+    as sRGB (shade_kernel_nerf, testbed.cu:907-931). Training in linear
+    while rendering assumes sRGB double-darkens every midtone (measured
+    21.8 dB holdout on the capture bench before this conversion). HDR
+    datasets stay linear.
+    """
     assert ds.images is not None and len(ds.images) == ds.n_images
     images = np.stack(ds.images)  # (N, H, W, 4) linear premultiplied
+    if not getattr(ds, "is_hdr", False):
+        from nerf_glasses_tpu.ops.colors import linear_to_srgb
+        a = images[..., 3:4]
+        rgb = np.divide(images[..., :3], a, out=np.zeros_like(images[..., :3]),
+                        where=a > 1e-8)
+        rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0.0, 1.0)), np.float32)
+        images = np.concatenate([rgb * a, a], axis=-1)
     h, w = images.shape[1:3]
     out = {}
     depths = getattr(ds, "depth_images", None)

@@ -246,10 +246,16 @@ def test_trainable_envmap_learns_background():
     env = np.asarray(tr.state["aux"]["envmap"])
     # sample the envmap where training rays actually looked (cameras sit
     # slightly above the scene looking inward/down): the mean learned
-    # color over the observed band should approach the gray target
+    # color over the observed band should approach the gray target.
+    # LDR training happens in sRGB space (upstream python_api set_image
+    # converts; prepare_dataset_arrays mirrors it), so the envmap —
+    # like the network's rgb head — learns the sRGB encoding of the
+    # linear dataset background.
+    from nerf_glasses_tpu.ops.colors import linear_to_srgb
+    want = np.asarray(linear_to_srgb(gray), np.float32)
     band = env[8:24]                     # mid latitudes
-    err = np.abs(band.mean(axis=(0, 1)) - gray)
-    assert (err < 0.15).all(), band.mean(axis=(0, 1))
+    err = np.abs(band.mean(axis=(0, 1)) - want)
+    assert (err < 0.15).all(), (band.mean(axis=(0, 1)), want)
 
 
 def test_distortion_optimizer_smoke():
