@@ -152,6 +152,12 @@ class MarchOptions:
     # silhouette-band alpha error ungated vs 61 dB / 0.009 gated,
     # tests/test_flash_failures.py). Default ON.
     vector_occ_gate: bool = True
+    # Run the per-epoch advance pass as ONE Pallas kernel per chunk with
+    # the skip grid resident in VMEM (ops/advance_pallas.py) instead of
+    # advance_iters sequential XLA gather+fuse dispatches. Applies only
+    # on the fast path (cone 0, single cascade, chunk == 2048); other
+    # configurations silently fall back to the XLA pass.
+    pallas_advance: bool = False
 
     @property
     def cdtype(self):
@@ -547,6 +553,15 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
 
     surf_live = has_surface & (st["surf_a"] > 0.0)
     t_exit = _ray_exit_t(o, d, scene)
+
+    if (opts.pallas_advance and opts.cone_angle == 0.0
+            and opts.config.max_cascade == 0 and opts.min_mip == 0
+            and "skip" in scene):
+        from nerf_glasses_tpu.ops import advance_pallas as ap
+        if o.shape[0] == ap.BLOCK:
+            return ap.advance_pass_pallas(st, scene, iters,
+                                          float(C.MIN_CONE_STEPSIZE),
+                                          t_exit)
 
     def body(_, carry):
         t, alive, settled = carry
