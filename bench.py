@@ -236,6 +236,7 @@ def bench_trained_scene(quick=False):
     out = {
         "train_steps": meta.get("steps"),
         "train_final_loss": meta.get("final_loss"),
+        "settle_steps": meta.get("settle_steps"),
         "psnr_trained_unbaked_vs_holdout_db": round(psnr_unb, 2),
         "psnr_trained_flash_vs_holdout_db": round(psnr_fla, 2),
         "psnr_trained_flash_vs_unbaked_db": round(psnr_fvsu, 2),
