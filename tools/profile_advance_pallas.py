@@ -73,6 +73,58 @@ def main():
             results.setdefault(name, []).append(dt)
     print({k: round(min(v), 1) for k, v in results.items()}, flush=True)
 
+    # ---- standalone slope probe: per-iteration cost of each advance
+    # implementation (iters 24 vs 240 on one 2048-ray chunk; the slope
+    # calibrates Mosaic's in-kernel gather rate for bigger fusions) ----
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf_glasses_tpu import constants as C
+    from nerf_glasses_tpu.config import NGPConfig
+    from nerf_glasses_tpu.ops import raymarch
+    from nerf_glasses_tpu.ops import advance_pallas as ap
+
+    rng = np.random.default_rng(0)
+    occ = np.zeros((8, 128, 128, 128), np.uint8)
+    occ[0, 40:90, 40:90, 40:90] = rng.uniform(size=(50,) * 3) < 0.02
+    scene = raymarch.make_scene(occ, np.zeros(3), np.ones(3), np.eye(3),
+                                np.zeros(3), np.ones(3))
+    o = rng.uniform(0.05, 0.95, size=(ap.BLOCK, 3)).astype(np.float32)
+    dvec = rng.normal(size=(ap.BLOCK, 3)).astype(np.float32)
+    dvec /= np.linalg.norm(dvec, axis=1, keepdims=True)
+    st = {"o": jnp.asarray(o), "d": jnp.asarray(dvec),
+          "t": jnp.zeros(ap.BLOCK), "t_surf": jnp.zeros(ap.BLOCK),
+          "surf_a": jnp.zeros(ap.BLOCK), "t_start": jnp.zeros(ap.BLOCK),
+          "alive": jnp.ones(ap.BLOCK, bool)}
+    opts = raymarch.MarchOptions(config=NGPConfig(), cone_angle=0.0,
+                                 jitter=False)
+    t_exit = raymarch._ray_exit_t(st["o"], st["d"], scene)
+    dt_c = float(C.MIN_CONE_STEPSIZE)
+
+    import functools
+    xla_fn = jax.jit(functools.partial(raymarch._advance_pass, opts=opts),
+                     static_argnames=("iters",))
+
+    def time_leg(fn, iters, reps=50):
+        out = fn(iters)
+        _ = float(out["t"][0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(iters)
+        _ = float(out["t"][0])
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    legs = {
+        "xla": lambda it: xla_fn(dict(st), scene, iters=it),
+        "pallas": lambda it: ap.advance_pass_pallas(dict(st), scene, it,
+                                                    dt_c, t_exit),
+    }
+    for rnd in range(2):
+        for nm, fn in legs.items():
+            lo, hi = time_leg(fn, 24), time_leg(fn, 240)
+            print(f"[slope r{rnd}] {nm:7s} 24it {lo:7.3f} ms  "
+                  f"240it {hi:7.3f} ms  -> {(hi - lo) / 216 * 1e3:6.1f} "
+                  f"us/iter", flush=True)
+
 
 if __name__ == "__main__":
     main()

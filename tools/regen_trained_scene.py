@@ -1,0 +1,20 @@
+"""Regenerate the trained-scene bench snapshot cache (bench_scene
+SCENE_VERSION) and print the trained-content metrics — run after any
+bench_scene change so the driver's bench.py run starts warm."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/assets/cache/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+
+out = bench.bench_trained_scene(quick="--quick" in sys.argv)
+print(json.dumps(out, indent=1), flush=True)
