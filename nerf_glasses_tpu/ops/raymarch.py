@@ -158,6 +158,16 @@ class MarchOptions:
     # on the fast path (cone 0, single cascade, chunk == 2048); other
     # configurations silently fall back to the XLA pass.
     pallas_advance: bool = False
+    # Run the WHOLE flash chunk epoch (advance pass + vectorized
+    # deferred-shading rounds) as ONE Pallas kernel with the skip grid
+    # AND a 128^3 baked-density grid resident in VMEM
+    # (ops/flash_pallas.py). Requires the flash option bundle
+    # (vector_rounds + use_baked_sigma + deferred_color), cone 0, a
+    # single cascade, chunk == 2048, and scene["sigma_lin"]; falls back
+    # to the XLA epoch otherwise. Note the kernel samples density from
+    # the 128^3 linear grid rather than the brick grid at bake
+    # resolution (see flash_pallas module doc; PSNR-gated in bench.py).
+    pallas_flash: bool = False
 
     @property
     def cdtype(self):
@@ -963,6 +973,14 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
     epoch_rounds = opts.rounds_per_epoch
     max_epochs = max(1, opts.max_rounds // epoch_rounds)
 
+    use_flash_kernel = (
+        opts.pallas_flash and opts.vector_rounds and opts.use_baked_sigma
+        and opts.deferred_color and cone0 and opts.config.max_cascade == 0
+        and opts.min_mip == 0 and "skip" in scene and "sigma_lin" in scene)
+    if use_flash_kernel:
+        from nerf_glasses_tpu.ops import flash_pallas
+        use_flash_kernel = CH == flash_pallas.BLOCK
+
     def outer_cond(carry):
         st, epoch = carry
         return jnp.any(st["alive"]) & (epoch < max_epochs)
@@ -986,14 +1004,20 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
                 sub["o"], sub["d"] = chunk_raygen(idx)
             sub["alive"] = (i * CH + jnp.arange(CH, dtype=jnp.int32)
                             ) < n_alive
-            # cross empty space on occupancy lookups alone, then spend
-            # network rounds only on rays parked at occupied cells
-            sub = _advance_pass(sub, scene, opts, opts.advance_iters)
+            if use_flash_kernel:
+                # whole epoch (advance + rounds) fused into one Pallas
+                # dispatch with the acceleration grids VMEM-resident
+                sub = flash_pallas.flash_epoch_pass(sub, scene, opts)
+            else:
+                # cross empty space on occupancy lookups alone, then
+                # spend network rounds only on rays parked at occupied
+                # cells
+                sub = _advance_pass(sub, scene, opts, opts.advance_iters)
 
-            def round_body(_, sub):
-                return _march_round(sub, params, scene, opts)
+                def round_body(_, sub):
+                    return _march_round(sub, params, scene, opts)
 
-            sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
+                sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
             for k in scatter_keys:
                 st[k] = st[k].at[idx].set(sub[k])
             return st

@@ -25,6 +25,7 @@ REPS = 6
 VARIANTS = [
     ("xla advance", {}),
     ("pallas advance", {"pallas_advance": True}),
+    ("pallas flash", {"pallas_flash": True}),
 ]
 
 
@@ -53,10 +54,12 @@ def main():
         frames[name] = np.asarray(run.out)
         print(f"compiled {name:16s} ({time.perf_counter() - t0:.0f} s)",
               flush=True)
-    a, b = (frames[n] for n, _ in VARIANTS)
-    mse = float(np.mean((a[..., :3] - b[..., :3]) ** 2))
-    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
-    print(f"pallas-vs-xla frame PSNR: {psnr:.2f} dB", flush=True)
+    ref_frame = frames[VARIANTS[0][0]]
+    for name, _ in VARIANTS[1:]:
+        mse = float(np.mean((frames[name][..., :3]
+                             - ref_frame[..., :3]) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        print(f"{name} vs xla frame PSNR: {psnr:.2f} dB", flush=True)
 
     results = {}
     for rnd in range(4):
