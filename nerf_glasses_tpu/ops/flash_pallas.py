@@ -67,7 +67,8 @@ def _gather_u8(ref, flat):
 
 
 def _kernel(skip_ref, sig_ref, st_ref, out_ref, *, adv_iters: int,
-            rounds: int, K: int, dt: float, min_t: float, occ_gate: bool):
+            rounds: int, K: int, dt: float, min_t: float, occ_gate: bool,
+            epochs: int = 1):
     s = {k: st_ref[i] for i, k in enumerate(_IN)}
     ox, oy, oz = s["ox"], s["oy"], s["oz"]
     dx, dy, dz = s["dx"], s["dy"], s["dz"]
@@ -260,31 +261,35 @@ def _kernel(skip_ref, sig_ref, st_ref, out_ref, *, adv_iters: int,
 
     st = {k: s[k] for k in _OUT}
     st["alive"] = st["alive"] > 0.5
-    # epoch = advance pass, then rounds_per_epoch rounds
-    surf_live = has_surface & (st["surf_a"] > 0.0)
-    t, alive, _, _ = jax.lax.fori_loop(
-        0, adv_iters, advance_body,
-        (st["t"], st["alive"], ~st["alive"], surf_live))
-    st["t"] = t
-    st["alive"] = alive
-    for _ in range(rounds):
-        st = round_body(st)
+    # epoch = advance pass, then rounds_per_epoch rounds; `epochs`
+    # internal repeats trade (masked) kernel work for outer-loop
+    # compaction/scatter traffic
+    for _ in range(epochs):
+        surf_live = has_surface & (st["surf_a"] > 0.0)
+        t, alive, _, _ = jax.lax.fori_loop(
+            0, adv_iters, advance_body,
+            (st["t"], st["alive"], ~st["alive"], surf_live))
+        st["t"] = t
+        st["alive"] = alive
+        for _ in range(rounds):
+            st = round_body(st)
     for i, k in enumerate(_OUT):
         v = st[k]
         out_ref[i] = v.astype(jnp.float32) if v.dtype == jnp.bool_ else v
 
 
 @partial(jax.jit, static_argnames=("adv_iters", "rounds", "K", "dt",
-                                   "min_t", "occ_gate", "interpret"))
+                                   "min_t", "occ_gate", "epochs",
+                                   "interpret"))
 def flash_epoch_pallas(skip2d, sig2d, state, adv_iters: int, rounds: int,
                        K: int, dt: float, min_t: float, occ_gate: bool,
-                       interpret: bool = False):
+                       epochs: int = 1, interpret: bool = False):
     """skip2d: (G^3/128, 128) uint8; sig2d: (SIG_R^3/128, 128) f32 linear
     [z,y,x] baked density; state: (CHANS, ROWS, 128) f32 per `_IN`.
     -> (len(_OUT), ROWS, 128) f32."""
     return pl.pallas_call(
         partial(_kernel, adv_iters=adv_iters, rounds=rounds, K=K, dt=dt,
-                min_t=min_t, occ_gate=occ_gate),
+                min_t=min_t, occ_gate=occ_gate, epochs=epochs),
         out_shape=jax.ShapeDtypeStruct((len(_OUT), ROWS, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -320,7 +325,8 @@ def flash_epoch_pass(st, scene, opts, interpret: bool = False):
         pack_state(st, scene, t_exit), opts.advance_iters,
         opts.rounds_per_epoch, opts.steps_per_round,
         float(C.MIN_CONE_STEPSIZE), float(opts.min_transmittance),
-        bool(opts.vector_occ_gate), interpret=interpret)
+        bool(opts.vector_occ_gate), epochs=opts.pallas_flash_epochs,
+        interpret=interpret)
     n = lambda i: out[i].reshape(-1)
     return {**st, "t": n(0), "alive": n(1) > 0.5, "surf_a": n(2),
             "rgba": jnp.stack([n(3), n(4), n(5), n(6)], axis=-1),

@@ -168,6 +168,10 @@ class MarchOptions:
     # the 128^3 linear grid rather than the brick grid at bake
     # resolution (see flash_pallas module doc; PSNR-gated in bench.py).
     pallas_flash: bool = False
+    # Internal [advance; rounds] repeats per kernel dispatch: >1 trades
+    # (alive-masked) kernel work for outer-loop compaction + state
+    # scatter traffic. Semantically = that many XLA epochs.
+    pallas_flash_epochs: int = 1
 
     @property
     def cdtype(self):

@@ -74,10 +74,10 @@ def _xla_epoch(st, scene, opts, params):
     return sub
 
 
-@pytest.mark.parametrize("seed,with_surface,occ_gate,rounds", [
-    (0, True, False, 1), (1, False, False, 1), (2, True, True, 1),
-    (3, True, False, 2)])
-def test_matches_xla_epoch(seed, with_surface, occ_gate, rounds):
+@pytest.mark.parametrize("seed,with_surface,occ_gate,rounds,epochs", [
+    (0, True, False, 1, 1), (1, False, False, 1, 1), (2, True, True, 1, 1),
+    (3, True, False, 2, 1), (4, True, False, 1, 3)])
+def test_matches_xla_epoch(seed, with_surface, occ_gate, rounds, epochs):
     st, scene = _scene_and_state(seed, with_surface)
     cfg = NGPConfig(n_levels=2, log2_hashmap_size=8, base_resolution=4)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -85,9 +85,12 @@ def test_matches_xla_epoch(seed, with_surface, occ_gate, rounds):
         config=cfg, cone_angle=0.0, jitter=False, use_baked_sigma=True,
         deferred_color=True, vector_rounds=True, steps_per_round=16,
         advance_iters=24, rounds_per_epoch=rounds, chunk=BLOCK,
-        vector_occ_gate=occ_gate, compute_dtype="float32")
+        vector_occ_gate=occ_gate, compute_dtype="float32",
+        pallas_flash_epochs=epochs)
 
-    ref = _xla_epoch(st, scene, opts, params)
+    ref = dict(st)
+    for _ in range(epochs):   # E internal epochs == E XLA epochs
+        ref = _xla_epoch(ref, scene, opts, params)
     out = flash_epoch_pass(dict(st), scene, opts, interpret=True)
 
     n = BLOCK

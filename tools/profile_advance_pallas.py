@@ -26,6 +26,8 @@ VARIANTS = [
     ("xla advance", {}),
     ("pallas advance", {"pallas_advance": True}),
     ("pallas flash", {"pallas_flash": True}),
+    ("pallas flash e2", {"pallas_flash": True, "pallas_flash_epochs": 2}),
+    ("pallas flash e4", {"pallas_flash": True, "pallas_flash_epochs": 4}),
 ]
 
 
