@@ -130,6 +130,58 @@ def main():
                   f"240it {hi:7.3f} ms  -> {(hi - lo) / 216 * 1e3:6.1f} "
                   f"us/iter", flush=True)
 
+    # ---- standalone epoch probe: fused kernel vs XLA advance+round on
+    # one chunk (the per-chunk cost the 720p frame pays ~450x) ----
+    from nerf_glasses_tpu.ops import flash_pallas as fp
+    from nerf_glasses_tpu.ops.bake import pack_sigma_bricks
+
+    base = rng.uniform(0.0, 30.0, size=(16, 16, 16)).astype(np.float32)
+    grid = np.repeat(np.repeat(np.repeat(base, 8, 0), 8, 1), 8, 2)
+    grid *= np.asarray(occ[0], np.float32)
+    scene["sigma"] = pack_sigma_bricks(grid)
+    scene["sigma_lin"] = jnp.asarray(grid.reshape(-1, 128))
+    st2 = dict(st, surf=jnp.zeros((fp.BLOCK, 4)),
+               rgba=jnp.zeros((fp.BLOCK, 4)), depth=jnp.zeros(fp.BLOCK),
+               max_weight=jnp.zeros(fp.BLOCK), wn=jnp.zeros(fp.BLOCK))
+
+    def epoch_opts(e):
+        return raymarch.MarchOptions(
+            config=NGPConfig(), cone_angle=0.0, jitter=False,
+            use_baked_sigma=True, deferred_color=True, vector_rounds=True,
+            steps_per_round=16, advance_iters=24, chunk=fp.BLOCK,
+            vector_occ_gate=False, pallas_flash_epochs=e)
+
+    def xla_epoch(s, sc, o_):
+        sub = raymarch._advance_pass(dict(s), sc, o_, o_.advance_iters)
+        return raymarch._march_round(sub, params_dummy, sc, o_)
+
+    from nerf_glasses_tpu.ops.network import init_params
+    params_dummy = init_params(jax.random.PRNGKey(0), NGPConfig(
+        n_levels=2, log2_hashmap_size=8, base_resolution=4))
+    o1 = epoch_opts(1)
+    xla_jit = jax.jit(lambda s, sc: xla_epoch(s, sc, o1))
+
+    epoch_legs = {
+        "xla epoch": lambda: xla_jit(st2, scene),
+        "kernel e1": lambda: fp.flash_epoch_pass(dict(st2), scene, o1),
+        "kernel e4": lambda: fp.flash_epoch_pass(dict(st2), scene,
+                                                 epoch_opts(4)),
+    }
+
+    def time_epoch(fn, reps=50):
+        out = fn()
+        _ = float(out["t"][0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        _ = float(out["t"][0])
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    for rnd in range(2):
+        for nm, fn in epoch_legs.items():
+            print(f"[epoch r{rnd}] {nm:10s} {time_epoch(fn):7.3f} ms",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
