@@ -570,7 +570,7 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
 
     if (opts.pallas_advance and opts.cone_angle == 0.0
             and opts.config.max_cascade == 0 and opts.min_mip == 0
-            and "skip" in scene):
+            and "skip" in scene and jax.default_backend() == "tpu"):
         from nerf_glasses_tpu.ops import advance_pallas as ap
         if o.shape[0] == ap.BLOCK:
             return ap.advance_pass_pallas(st, scene, iters,
@@ -980,7 +980,8 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
     use_flash_kernel = (
         opts.pallas_flash and opts.vector_rounds and opts.use_baked_sigma
         and opts.deferred_color and cone0 and opts.config.max_cascade == 0
-        and opts.min_mip == 0 and "skip" in scene and "sigma_lin" in scene)
+        and opts.min_mip == 0 and "skip" in scene and "sigma_lin" in scene
+        and jax.default_backend() == "tpu")
     if use_flash_kernel:
         from nerf_glasses_tpu.ops import flash_pallas
         use_flash_kernel = CH == flash_pallas.BLOCK
