@@ -314,11 +314,17 @@ def pack_state(st, scene, t_exit):
     return jnp.stack([c.reshape(ROWS, 128) for c in chans])
 
 
+# test hook: run the kernel in interpret mode even when called through
+# the product march path (march_frame wiring tests on CPU)
+FORCE_INTERPRET = False
+
+
 def flash_epoch_pass(st, scene, opts, interpret: bool = False):
     """Drop-in for [_advance_pass; rounds_per_epoch x _march_round] on
     the flash fast path. st holds BLOCK rays; requires
     scene["sigma_lin"] ((SIG_R^3/128, 128) f32)."""
     from nerf_glasses_tpu.ops import raymarch
+    interpret = interpret or FORCE_INTERPRET
     t_exit = raymarch._ray_exit_t(st["o"], st["d"], scene)
     out = flash_epoch_pallas(
         scene["skip"].reshape(-1, 128), scene["sigma_lin"],

@@ -108,3 +108,34 @@ def test_matches_xla_epoch(seed, with_surface, occ_gate, rounds, epochs):
         bad = ~np.isclose(a, b, rtol=1e-4, atol=tol)
         frac = bad.mean()
         assert frac <= 0.002, (k, frac, a[bad][:5], b[bad][:5])
+
+
+def test_march_frame_wiring(monkeypatch):
+    """The kernel path inside march_frame (chunk gather/scatter + gate)
+    must reproduce the XLA frame on a one-chunk flash-style frame."""
+    import jax as _jax
+    from nerf_glasses_tpu.ops import flash_pallas
+
+    st, scene = _scene_and_state(7, True)
+    cfg = NGPConfig(n_levels=2, log2_hashmap_size=8, base_resolution=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def run(pallas):
+        opts = raymarch.MarchOptions(
+            config=cfg, cone_angle=0.0, jitter=False, use_baked_sigma=True,
+            deferred_color=True, vector_rounds=True, steps_per_round=16,
+            advance_iters=24, chunk=BLOCK, max_rounds=8,
+            vector_occ_gate=False, compute_dtype="float32",
+            pallas_flash=pallas)
+        return raymarch.march_frame_impl(
+            params, scene, st["o"], st["d"], st["surf"], st["t_surf"],
+            opts)
+
+    ref = run(False)
+    monkeypatch.setattr(flash_pallas, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    out = run(True)
+    for k in ("rgba", "depth"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        bad = ~np.isclose(a, b, rtol=1e-4, atol=5e-5)
+        assert bad.mean() <= 0.002, (k, bad.mean())
