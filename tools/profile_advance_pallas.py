@@ -47,17 +47,25 @@ def main():
     def drain():
         return float(run.out[0, 0, 3])
 
+    import traceback
     frames = {}
+    ok_variants = []
     for name, kw in VARIANTS:
         nerf.march_overrides = dict(kw)
         t0 = time.perf_counter()
-        run()
-        drain()
+        try:
+            run()
+            drain()
+        except Exception:
+            print(f"VARIANT FAILED: {name}", flush=True)
+            traceback.print_exc()
+            continue
         frames[name] = np.asarray(run.out)
+        ok_variants.append((name, kw))
         print(f"compiled {name:16s} ({time.perf_counter() - t0:.0f} s)",
               flush=True)
-    ref_frame = frames[VARIANTS[0][0]]
-    for name, _ in VARIANTS[1:]:
+    ref_frame = frames[ok_variants[0][0]]
+    for name, _ in ok_variants[1:]:
         mse = float(np.mean((frames[name][..., :3]
                              - ref_frame[..., :3]) ** 2))
         psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
@@ -65,7 +73,7 @@ def main():
 
     results = {}
     for rnd in range(4):
-        for name, kw in VARIANTS:
+        for name, kw in ok_variants:
             nerf.march_overrides = dict(kw)
             run()
             drain()
@@ -179,8 +187,12 @@ def main():
 
     for rnd in range(2):
         for nm, fn in epoch_legs.items():
-            print(f"[epoch r{rnd}] {nm:10s} {time_epoch(fn):7.3f} ms",
-                  flush=True)
+            try:
+                print(f"[epoch r{rnd}] {nm:10s} {time_epoch(fn):7.3f} ms",
+                      flush=True)
+            except Exception:
+                print(f"EPOCH LEG FAILED: {nm}", flush=True)
+                traceback.print_exc()
 
 
 if __name__ == "__main__":
