@@ -235,6 +235,8 @@ def bench_trained_scene(quick=False):
 
     out = {
         "train_steps": meta.get("steps"),
+        "train_contract_s": (round(meta["train_s"], 1)
+                             if "train_s" in meta else None),
         "train_final_loss": meta.get("final_loss"),
         "settle_steps": meta.get("settle_steps"),
         "psnr_trained_unbaked_vs_holdout_db": round(psnr_unb, 2),
