@@ -134,7 +134,6 @@ class Testbed:
         self._scene_version = 0
         self._occ = None              # (8, 128,128,128) uint8
         self._baked_sigma_arr = None
-        self._baked_sigma_lin = None  # (128^3/128, 128) f32, flash kernel
         self._extra_dims = None
         self.dataset = NerfDataset()
 
@@ -419,9 +418,10 @@ class Testbed:
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
-            if getattr(self, "_baked_sigma_lin", None) is not None:
-                scene["sigma_lin"] = self._baked_sigma_lin
             if self.config.max_cascade == 0:
+                # Chebyshev clearance grid for the distance-stepping
+                # advance (raymarch._dist_advance_pass)
+                scene["dist"] = occ_ops.build_dist_grid(self.occ)
                 # occupied mip-0 voxel centers for the flash voxel-splat
                 # coarse init (raymarch.flash_init) — conservative cull
                 # with no thin-structure dropout
@@ -449,17 +449,10 @@ class Testbed:
                                  occ=self.occ)
         # brick-packed layout: one 512B-row gather per trilinear sample
         self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
-        # VMEM-layout 128^3 grid for the fused flash kernel
-        # (ops/flash_pallas.py): row = z*128 + y, lane = x
-        g128 = (grid if resolution == 128 else
-                bake_density_grid(self.params, self.config, 128,
-                                  occ=self.occ))
-        self._baked_sigma_lin = jnp.asarray(np.asarray(g128).reshape(-1, 128))
         self.reset_accumulation()
 
     def unbake(self):
         self._baked_sigma = None
-        self._baked_sigma_lin = None
 
     def set_surface_buffers(self, surface_rgba, t_surface, width, height):
         """Install the mesh pass's per-pixel depth/color (the reference

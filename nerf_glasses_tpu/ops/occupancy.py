@@ -259,3 +259,62 @@ def skip_level_at_soa(skip: jnp.ndarray, px, py, pz) -> jnp.ndarray:
 
     flat = (cell(pz) * GRID + cell(py)) * GRID + cell(px)
     return jnp.take(skip.reshape(-1), flat, mode="clip")
+
+
+def _dilate_chebyshev(g: jnp.ndarray) -> jnp.ndarray:
+    """One 3x3x3 Chebyshev dilation of a bool grid, zero beyond edges
+    (nothing is occupied outside the cascade-0 cube; rays are bounded
+    separately by their aabb exit t)."""
+    for axis in range(3):
+        n = g.shape[axis]
+        fwd = jnp.concatenate(
+            [jax.lax.slice_in_dim(g, 1, n, axis=axis),
+             jnp.zeros_like(jax.lax.slice_in_dim(g, 0, 1, axis=axis))],
+            axis=axis)
+        bwd = jnp.concatenate(
+            [jnp.zeros_like(jax.lax.slice_in_dim(g, 0, 1, axis=axis)),
+             jax.lax.slice_in_dim(g, 0, n - 1, axis=axis)],
+            axis=axis)
+        g = g | fwd | bwd
+    return g
+
+
+def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
+    """Chebyshev distance (voxels) to the nearest occupied cascade-0
+    voxel -> (G,G,G) uint8; 0 = occupied, values capped at max_dist.
+
+    A marcher holding this grid advances per iteration to the EXIT of
+    the centered (2k-1)^3 empty box around the current voxel (k = the
+    gathered distance) instead of the next aligned block boundary the
+    mip jump grid (build_skip_grid) offers — the same one-uint8-gather
+    iteration cost, but hops that scale with the actual clearance and
+    don't reset at power-of-two block edges, so a frame needs far fewer
+    sequential advance iterations (the dominant flash-frame cost on
+    this TPU: ~35 ms of sequential gather+fuse rounds at 24 iterations;
+    see raymarch._dist_advance_pass).
+
+    Built by iterated separable dilation: after k dilations a voxel is
+    marked iff its distance is <= k, so summing the unmarked indicator
+    over max_dist rounds yields the capped distance. Runs as one fused
+    scan at bake/scene-build time.
+    """
+    g = jnp.asarray(occ[0] > 0)                      # (G, G, G) [z, y, x]
+
+    def step(carry, _):
+        cur, dist = carry
+        cur = _dilate_chebyshev(cur)
+        return (cur, dist + (~cur).astype(jnp.uint8)), None
+
+    dist0 = (~g).astype(jnp.uint8)                   # k = 0 term
+    (_, dist), _ = jax.lax.scan(step, (g, dist0), None, length=max_dist - 1)
+    return dist
+
+
+def dist_at_soa(dist: jnp.ndarray, px, py, pz) -> jnp.ndarray:
+    """Gather Chebyshev distances at cascade-0 positions -> (...,) uint8
+    (same trunc-toward-zero indexing as occupied_at)."""
+    def cell(p):
+        return jnp.clip(jnp.trunc(p * GRID).astype(jnp.int32), 0, GRID - 1)
+
+    flat = (cell(pz) * GRID + cell(py)) * GRID + cell(px)
+    return jnp.take(dist.reshape(-1), flat, mode="clip")

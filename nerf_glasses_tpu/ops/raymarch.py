@@ -152,26 +152,22 @@ class MarchOptions:
     # silhouette-band alpha error ungated vs 61 dB / 0.009 gated,
     # tests/test_flash_failures.py). Default ON.
     vector_occ_gate: bool = True
-    # Run the per-epoch advance pass as ONE Pallas kernel per chunk with
-    # the skip grid resident in VMEM (ops/advance_pallas.py) instead of
-    # advance_iters sequential XLA gather+fuse dispatches. Applies only
-    # on the fast path (cone 0, single cascade, chunk == 2048); other
-    # configurations silently fall back to the XLA pass.
-    pallas_advance: bool = False
-    # Run the WHOLE flash chunk epoch (advance pass + vectorized
-    # deferred-shading rounds) as ONE Pallas kernel with the skip grid
-    # AND a 128^3 baked-density grid resident in VMEM
-    # (ops/flash_pallas.py). Requires the flash option bundle
-    # (vector_rounds + use_baked_sigma + deferred_color), cone 0, a
-    # single cascade, chunk == 2048, and scene["sigma_lin"]; falls back
-    # to the XLA epoch otherwise. Note the kernel samples density from
-    # the 128^3 linear grid rather than the brick grid at bake
-    # resolution (see flash_pallas module doc; PSNR-gated in bench.py).
-    pallas_flash: bool = False
-    # Internal [advance; rounds] repeats per kernel dispatch: >1 trades
-    # (alive-masked) kernel work for outer-loop compaction + state
-    # scatter traffic. Semantically = that many XLA epochs.
-    pallas_flash_epochs: int = 1
+    # NOTE on fused Pallas march kernels: round 3 built (and interpret-
+    # mode-verified) kernels that ran the advance pass / the whole flash
+    # epoch as one dispatch with the skip + baked-density grids resident
+    # in VMEM. They CANNOT lower for real TPUs: Mosaic supports only
+    # same-shape tpu.dynamic_gather lane/sublane shuffles — the hardware
+    # has no vector gather from VMEM, so an arbitrary-row table lookup
+    # inside a kernel is inexpressible (tests/test_tpu_lowering.py
+    # guards the kernels that remain). XLA's HBM gather is the fast
+    # path (tools/profile_encode.py); the advance is instead attacked
+    # by reducing ITERATIONS via the Chebyshev distance grid below.
+    # Advance on a distance-to-occupied grid (scene["dist"], built by
+    # occupancy.build_dist_grid) instead of the mip jump grid: each
+    # iteration hops the full empty Chebyshev ball radius rather than
+    # one block boundary, so far fewer sequential gather iterations
+    # cover the same empty span. Single-cascade fast path only.
+    dist_advance: bool = False
 
     @property
     def cdtype(self):
@@ -568,14 +564,10 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
     surf_live = has_surface & (st["surf_a"] > 0.0)
     t_exit = _ray_exit_t(o, d, scene)
 
-    if (opts.pallas_advance and opts.cone_angle == 0.0
+    if (opts.dist_advance and opts.cone_angle == 0.0
             and opts.config.max_cascade == 0 and opts.min_mip == 0
-            and "skip" in scene and jax.default_backend() == "tpu"):
-        from nerf_glasses_tpu.ops import advance_pallas as ap
-        if o.shape[0] == ap.BLOCK:
-            return ap.advance_pass_pallas(st, scene, iters,
-                                          float(C.MIN_CONE_STEPSIZE),
-                                          t_exit)
+            and "dist" in scene):
+        return _dist_advance_pass(st, scene, opts, iters, t_exit)
 
     def body(_, carry):
         t, alive, settled = carry
@@ -587,6 +579,60 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
         occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
         # exit, stop at occupancy
+        newly_park = active & (surf_pending | (~inside & surf_live))
+        newly_exit = active & ~surf_pending & ~inside & ~surf_live
+        newly_hit = active & ~surf_pending & inside & occ
+        t = jnp.where(newly_park, t_surface, t)
+        alive = alive & ~newly_exit
+        settled = settled | newly_park | newly_hit | ~alive
+        t = jnp.where(~settled & alive, adv, t)
+        return t, alive, settled
+
+    t, alive, _ = jax.lax.fori_loop(
+        0, iters, body, (st["t"], st["alive"], ~st["alive"]))
+    return {**st, "t": t, "alive": alive}
+
+
+def _dist_advance_pass(st, scene, opts: MarchOptions, iters: int, t_exit):
+    """Advance on the Chebyshev distance grid (scene["dist"],
+    occupancy.build_dist_grid): per iteration, ONE uint8 gather bounds
+    the empty clearance k (voxels) around the current voxel and the ray
+    hops to the exit of that centered safe box — k == 1 degenerates to
+    the single-voxel DDA step, k == 0 means occupied -> settle. Same
+    park-at-surface / die-on-exit / stop-at-occupancy semantics as the
+    mip-jump body in _advance_pass (advance_pos_nerf,
+    testbed.cu:470-537). Conservative by construction (the Chebyshev
+    ball is empty), so it never skips an occupied voxel; hops scale
+    with actual clearance instead of resetting at aligned power-of-two
+    block boundaries, so the same empty span costs fewer sequential
+    iterations — the quantity this TPU actually bills for."""
+    o, d = st["o"], st["d"]
+    t_surface = st["t_surf"]
+    has_surface = t_surface > 0.0
+    surf_live = has_surface & (st["surf_a"] > 0.0)
+    fdt = jnp.float32(C.MIN_CONE_STEPSIZE)   # caller gates cone_angle == 0
+    G = C.NERF_GRIDSIZE
+    vox = jnp.float32(1.0 / G)
+    dir_zero = d == 0.0
+    d_safe = jnp.where(dir_zero, 1.0, d)
+
+    def body(_, carry):
+        t, alive, settled = carry
+        active = ~settled & alive
+        pos = o + d * t[:, None]
+        k = occ_ops.dist_at_soa(scene["dist"], pos[:, 0], pos[:, 1],
+                                pos[:, 2]).astype(jnp.float32)
+        occ = k == 0.0
+        vi = jnp.clip(jnp.trunc(pos * G), 0.0, G - 1.0)
+        kk = k[:, None]
+        bound = jnp.where(d > 0.0, (vi + kk) * vox,
+                          (vi - (kk - 1.0)) * vox)
+        tt = jnp.where(dir_zero, 1e9, (bound - pos) / d_safe)
+        delta = jnp.maximum(jnp.min(tt, axis=-1), 0.0)
+        adv = t + jnp.maximum(jnp.ceil(delta / fdt), 1.0) * fdt
+
+        surf_pending = surf_live & (t >= t_surface)
+        inside = t <= t_exit
         newly_park = active & (surf_pending | (~inside & surf_live))
         newly_exit = active & ~surf_pending & ~inside & ~surf_live
         newly_hit = active & ~surf_pending & inside & occ
@@ -977,15 +1023,6 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
     epoch_rounds = opts.rounds_per_epoch
     max_epochs = max(1, opts.max_rounds // epoch_rounds)
 
-    use_flash_kernel = (
-        opts.pallas_flash and opts.vector_rounds and opts.use_baked_sigma
-        and opts.deferred_color and cone0 and opts.config.max_cascade == 0
-        and opts.min_mip == 0 and "skip" in scene and "sigma_lin" in scene
-        and jax.default_backend() == "tpu")
-    if use_flash_kernel:
-        from nerf_glasses_tpu.ops import flash_pallas
-        use_flash_kernel = CH == flash_pallas.BLOCK
-
     def outer_cond(carry):
         st, epoch = carry
         return jnp.any(st["alive"]) & (epoch < max_epochs)
@@ -1009,20 +1046,14 @@ def march_frame_impl(params, scene, o, d, surface_rgba, t_surface,
                 sub["o"], sub["d"] = chunk_raygen(idx)
             sub["alive"] = (i * CH + jnp.arange(CH, dtype=jnp.int32)
                             ) < n_alive
-            if use_flash_kernel:
-                # whole epoch (advance + rounds) fused into one Pallas
-                # dispatch with the acceleration grids VMEM-resident
-                sub = flash_pallas.flash_epoch_pass(sub, scene, opts)
-            else:
-                # cross empty space on occupancy lookups alone, then
-                # spend network rounds only on rays parked at occupied
-                # cells
-                sub = _advance_pass(sub, scene, opts, opts.advance_iters)
+            # cross empty space on occupancy lookups alone, then spend
+            # network rounds only on rays parked at occupied cells
+            sub = _advance_pass(sub, scene, opts, opts.advance_iters)
 
-                def round_body(_, sub):
-                    return _march_round(sub, params, scene, opts)
+            def round_body(_, sub):
+                return _march_round(sub, params, scene, opts)
 
-                sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
+            sub = jax.lax.fori_loop(0, epoch_rounds, round_body, sub)
             for k in scatter_keys:
                 st[k] = st[k].at[idx].set(sub[k])
             return st
