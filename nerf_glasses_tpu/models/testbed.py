@@ -416,12 +416,14 @@ class Testbed:
         scene = raymarch.make_scene(
             self.occ, self.render_aabb.min, self.render_aabb.max,
             self.render_aabb_to_local, self.aabb.min, self.aabb.max)
+        if self.config.max_cascade == 0:
+            # Chebyshev clearance grid for the distance-stepping probe
+            # (raymarch._dist_probe, MarchOptions.dist_advance) — usable
+            # by every single-cascade path, baked or not
+            scene["dist"] = occ_ops.build_dist_grid(self.occ)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
             if self.config.max_cascade == 0:
-                # Chebyshev clearance grid for the distance-stepping
-                # advance (raymarch._dist_advance_pass)
-                scene["dist"] = occ_ops.build_dist_grid(self.occ)
                 # occupied mip-0 voxel centers for the flash voxel-splat
                 # coarse init (raymarch.flash_init) — conservative cull
                 # with no thin-structure dropout

@@ -291,7 +291,7 @@ def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
     don't reset at power-of-two block edges, so a frame needs far fewer
     sequential advance iterations (the dominant flash-frame cost on
     this TPU: ~35 ms of sequential gather+fuse rounds at 24 iterations;
-    see raymarch._dist_advance_pass).
+    see raymarch._dist_probe).
 
     Built by iterated separable dilation: after k dilations a voxel is
     marked iff its distance is <= k, so summing the unmarked indicator

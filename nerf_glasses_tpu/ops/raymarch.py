@@ -312,6 +312,32 @@ def _ray_exit_t(o, d, scene):
     return jnp.where(tmax >= jnp.float32(3e38), -jnp.inf, tmax)
 
 
+def _dist_probe(scene, pos, t, d):
+    """One-gather Chebyshev clearance probe -> (occupied, t_advanced).
+
+    scene["dist"] (occupancy.build_dist_grid) holds the distance in
+    voxels to the nearest occupied cascade-0 voxel. The ray hops to the
+    exit of the centered empty box that distance guarantees: k == 1
+    degenerates to the single-voxel DDA step, k == 0 is occupied.
+    Conservative (the box is empty), cone_angle == 0 only (gated by
+    callers): advance quantizes to the same MIN_CONE_STEPSIZE lattice
+    as the DDA probe, so only empty lattice points are ever skipped."""
+    fdt = jnp.float32(C.MIN_CONE_STEPSIZE)
+    G = C.NERF_GRIDSIZE
+    vox = jnp.float32(1.0 / G)
+    k = occ_ops.dist_at_soa(scene["dist"], pos[..., 0], pos[..., 1],
+                            pos[..., 2]).astype(jnp.float32)
+    occ = k == 0.0
+    vi = jnp.clip(jnp.trunc(pos * G), 0.0, G - 1.0)
+    kk = k[..., None]
+    bound = jnp.where(d > 0.0, (vi + kk) * vox, (vi - (kk - 1.0)) * vox)
+    dir_zero = d == 0.0
+    tt = jnp.where(dir_zero, 1e9, (bound - pos) / jnp.where(dir_zero, 1.0, d))
+    delta = jnp.maximum(jnp.min(tt, axis=-1), 0.0)
+    adv = t + jnp.maximum(jnp.ceil(delta / fdt), 1.0) * fdt
+    return occ, adv
+
+
 def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
     """One-gather DDA probe -> (occupied, t_advanced).
 
@@ -319,7 +345,13 @@ def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
     and the coarsest safely-empty block level in a single uint8 gather,
     so each skipping iteration advances to that block's boundary (up to
     16 voxels) instead of one fine voxel. Multi-cascade scenes fall back
-    to the per-mip probe."""
+    to the per-mip probe. With MarchOptions.dist_advance the jump grid
+    is swapped for the Chebyshev clearance grid (_dist_probe), whose
+    hops scale with the measured clearance instead of block size."""
+    if (opts.dist_advance and opts.cone_angle == 0.0
+            and opts.config.max_cascade == 0 and opts.min_mip == 0
+            and "dist" in scene):
+        return _dist_probe(scene, pos, t, d)
     if opts.config.max_cascade == 0 and opts.min_mip == 0 and "skip" in scene:
         lv = occ_ops.skip_level_at(scene["skip"], pos)
         occ = lv == 255
@@ -564,11 +596,6 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
     surf_live = has_surface & (st["surf_a"] > 0.0)
     t_exit = _ray_exit_t(o, d, scene)
 
-    if (opts.dist_advance and opts.cone_angle == 0.0
-            and opts.config.max_cascade == 0 and opts.min_mip == 0
-            and "dist" in scene):
-        return _dist_advance_pass(st, scene, opts, iters, t_exit)
-
     def body(_, carry):
         t, alive, settled = carry
         active = ~settled & alive
@@ -579,60 +606,6 @@ def _advance_pass(st, scene, opts: MarchOptions, iters: int):
         occ, adv = _skip_probe(scene, pos, t, d, idir, dt, opts)
         # park at t_surface (rounds composite the surface), die on clean
         # exit, stop at occupancy
-        newly_park = active & (surf_pending | (~inside & surf_live))
-        newly_exit = active & ~surf_pending & ~inside & ~surf_live
-        newly_hit = active & ~surf_pending & inside & occ
-        t = jnp.where(newly_park, t_surface, t)
-        alive = alive & ~newly_exit
-        settled = settled | newly_park | newly_hit | ~alive
-        t = jnp.where(~settled & alive, adv, t)
-        return t, alive, settled
-
-    t, alive, _ = jax.lax.fori_loop(
-        0, iters, body, (st["t"], st["alive"], ~st["alive"]))
-    return {**st, "t": t, "alive": alive}
-
-
-def _dist_advance_pass(st, scene, opts: MarchOptions, iters: int, t_exit):
-    """Advance on the Chebyshev distance grid (scene["dist"],
-    occupancy.build_dist_grid): per iteration, ONE uint8 gather bounds
-    the empty clearance k (voxels) around the current voxel and the ray
-    hops to the exit of that centered safe box — k == 1 degenerates to
-    the single-voxel DDA step, k == 0 means occupied -> settle. Same
-    park-at-surface / die-on-exit / stop-at-occupancy semantics as the
-    mip-jump body in _advance_pass (advance_pos_nerf,
-    testbed.cu:470-537). Conservative by construction (the Chebyshev
-    ball is empty), so it never skips an occupied voxel; hops scale
-    with actual clearance instead of resetting at aligned power-of-two
-    block boundaries, so the same empty span costs fewer sequential
-    iterations — the quantity this TPU actually bills for."""
-    o, d = st["o"], st["d"]
-    t_surface = st["t_surf"]
-    has_surface = t_surface > 0.0
-    surf_live = has_surface & (st["surf_a"] > 0.0)
-    fdt = jnp.float32(C.MIN_CONE_STEPSIZE)   # caller gates cone_angle == 0
-    G = C.NERF_GRIDSIZE
-    vox = jnp.float32(1.0 / G)
-    dir_zero = d == 0.0
-    d_safe = jnp.where(dir_zero, 1.0, d)
-
-    def body(_, carry):
-        t, alive, settled = carry
-        active = ~settled & alive
-        pos = o + d * t[:, None]
-        k = occ_ops.dist_at_soa(scene["dist"], pos[:, 0], pos[:, 1],
-                                pos[:, 2]).astype(jnp.float32)
-        occ = k == 0.0
-        vi = jnp.clip(jnp.trunc(pos * G), 0.0, G - 1.0)
-        kk = k[:, None]
-        bound = jnp.where(d > 0.0, (vi + kk) * vox,
-                          (vi - (kk - 1.0)) * vox)
-        tt = jnp.where(dir_zero, 1e9, (bound - pos) / d_safe)
-        delta = jnp.maximum(jnp.min(tt, axis=-1), 0.0)
-        adv = t + jnp.maximum(jnp.ceil(delta / fdt), 1.0) * fdt
-
-        surf_pending = surf_live & (t >= t_surface)
-        inside = t <= t_exit
         newly_park = active & (surf_pending | (~inside & surf_live))
         newly_exit = active & ~surf_pending & ~inside & ~surf_live
         newly_hit = active & ~surf_pending & inside & occ
