@@ -134,6 +134,7 @@ class Testbed:
         self._scene_version = 0
         self._occ = None              # (8, 128,128,128) uint8
         self._baked_sigma_arr = None
+        self._baked_feat = None       # (R^3, 16) bf16 density-MLP outputs
         self._extra_dims = None
         self.dataset = NerfDataset()
 
@@ -423,6 +424,8 @@ class Testbed:
             scene["dist"] = occ_ops.build_dist_grid(self.occ)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
+            if self._baked_feat is not None:
+                scene["feat"] = self._baked_feat
             if self.config.max_cascade == 0:
                 # occupied mip-0 voxel centers for the flash voxel-splat
                 # coarse init (raymarch.flash_init) — conservative cull
@@ -439,21 +442,29 @@ class Testbed:
         self._scene_cache = (key, scene)
         return scene
 
-    def bake(self, resolution: int = 256):
+    def bake(self, resolution: int = 256, features: bool = True):
         """Bake the density field to a dense grid for fast rendering
         (ops/bake.py). Opt-in; color still comes from the full network at
-        visible samples. Requires a single-cascade scene."""
+        visible samples. Requires a single-cascade scene.
+
+        features=True additionally bakes the density MLP's 16-wide
+        output (the color MLP's position input) so the flash deferred
+        shade runs with zero hash-table traffic — both grids come from
+        the same network sweep."""
         if self.config.max_cascade != 0:
             raise ValueError("baking currently supports aabb_scale == 1")
-        from nerf_glasses_tpu.ops.bake import (bake_density_grid,
-                                               pack_sigma_bricks)
-        grid = bake_density_grid(self.params, self.config, resolution,
-                                 occ=self.occ)
+        from nerf_glasses_tpu.ops.bake import bake_grids, pack_sigma_bricks
+        grid, feat = bake_grids(self.params, self.config, resolution,
+                                occ=self.occ, features=features)
         # brick-packed layout: one 512B-row gather per trilinear sample
+        self._baked_feat = feat
+        # the _baked_sigma setter bumps _scene_version, invalidating the
+        # memoized scene (which carries both grids)
         self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
         self.reset_accumulation()
 
     def unbake(self):
+        self._baked_feat = None
         self._baked_sigma = None
 
     def set_surface_buffers(self, surface_rgba, t_surface, width, height):

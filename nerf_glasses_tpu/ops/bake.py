@@ -30,27 +30,41 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           density_raw)
 
 
-def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
-                      batch: int = 1 << 18, occ=None) -> jnp.ndarray:
-    """Evaluate activated density at cell centers of a resolution^3 grid
-    over the unit cube -> (R, R, R) float32 [z, y, x].
+def bake_grids(params, config: NGPConfig, resolution: int = 256,
+               batch: int = 1 << 18, occ=None, features: bool = False):
+    """Evaluate the density network at cell centers of a resolution^3
+    grid over the unit cube -> (sigma (R, R, R) float32 [z, y, x],
+    feat ((R^3, 16) bfloat16 raw density-MLP outputs, or None)).
 
-    When `occ` ((8, G, G, G) or (G, G, G) occupancy) is given, the grid
-    is zeroed outside the (1-voxel-dilated) occupied region: the network
+    Both come from ONE network sweep: sigma is the activated first
+    channel; `feat` is the full 16-wide raw output — exactly the
+    position-dependent half of the color MLP's input
+    (nerf_network.cuh:75-135), so a deferred-shade pass can replace the
+    hash-encode + density MLP with one trilinear lookup (scene["feat"]).
+
+    When `occ` ((8, G, G, G) or (G, G, G) occupancy) is given, sigma is
+    zeroed outside the (1-voxel-dilated) occupied region: the network
     emits junk density in space the occupancy grid culls, and render
     paths that trust the baked grid for emptiness (flash/vector rounds)
-    would otherwise composite it as fog."""
+    would otherwise composite it as fog. (`feat` is never masked — it is
+    only read at compositing-significant samples, which the sigma grid
+    already confines to occupied space.)"""
     R = resolution
     g = (np.arange(R, dtype=np.float32) + 0.5) / R
     zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
     pos = np.stack([xx, yy, zz], -1).reshape(-1, 3)
 
-    fn = jax.jit(lambda p, x: apply_density_activation(
-        density_raw(p, x, config)[:, 0], config.density_activation))
-    out = []
+    fn = jax.jit(lambda p, x: density_raw(p, x, config))
+    sig = []
+    feat = []
     for s in range(0, pos.shape[0], batch):
-        out.append(fn(params, jnp.asarray(pos[s:s + batch])))
-    grid = jnp.concatenate(out).reshape(R, R, R)
+        d_out = fn(params, jnp.asarray(pos[s:s + batch]))
+        sig.append(apply_density_activation(d_out[:, 0],
+                                            config.density_activation))
+        if features:
+            feat.append(d_out.astype(jnp.bfloat16))
+    grid = jnp.concatenate(sig).reshape(R, R, R)
+    feat = jnp.concatenate(feat) if features else None
     if occ is not None:
         o = np.asarray(occ)
         if o.ndim == 4:
@@ -65,7 +79,41 @@ def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
         i = np.minimum((np.arange(R) * G) // R, G - 1)
         up = md[np.ix_(i, i, i)]
         grid = grid * jnp.asarray(up.astype(np.float32))
-    return grid
+    return grid, feat
+
+
+def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
+                      batch: int = 1 << 18, occ=None) -> jnp.ndarray:
+    """Activated density at cell centers -> (R, R, R); see bake_grids."""
+    return bake_grids(params, config, resolution, batch, occ)[0]
+
+
+def sample_feat_grid(feat: jnp.ndarray, pos01: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear lookup into a bake_grids feature table: feat (R^3, 16)
+    [z, y, x raveled], pos01 (N, 3) in [0,1] -> (N, 16) float32.
+
+    Eight 16-wide row gathers + lerp — the deferred-shade replacement
+    for hash_encode (L*8 gathers) + the density MLP."""
+    R = round(feat.shape[0] ** (1.0 / 3.0))
+    p = jnp.clip(pos01, 0.0, 1.0) * R - 0.5
+    i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, R - 2)
+    f = jnp.clip(p - i0, 0.0, 1.0)
+    ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+
+    def at(dx, dy, dz):
+        idx = ((iz + dz) * R + (iy + dy)) * R + (ix + dx)
+        return jnp.take(feat, idx, axis=0).astype(jnp.float32)
+
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+    c00 = at(0, 0, 0) * (1 - fx) + at(1, 0, 0) * fx
+    c10 = at(0, 1, 0) * (1 - fx) + at(1, 1, 0) * fx
+    c01 = at(0, 0, 1) * (1 - fx) + at(1, 0, 1) * fx
+    c11 = at(0, 1, 1) * (1 - fx) + at(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
 
 
 def pack_sigma_bricks(sigma_grid: np.ndarray) -> jnp.ndarray:

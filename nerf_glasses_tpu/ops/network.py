@@ -67,10 +67,20 @@ def apply_network_soa(params: Params, px, py, pz, dx, dy, dz,
     px/py/pz (N,) in [0,1], dx/dy/dz (N,) warped directions in [0,1]
     -> (rgb_raw (N,3), sigma_raw (N,))."""
     d_out = density_raw_soa(params, px, py, pz, config, compute_dtype)
+    rgb_out = _rgb_head(params, d_out, dx, dy, dz, config, compute_dtype,
+                        extra)
+    return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
+
+
+def _rgb_head(params: Params, d_out, dx, dy, dz, config: NGPConfig,
+              compute_dtype=jnp.bfloat16, extra: jnp.ndarray = None):
+    """[density-MLP output (N,16), SH(dir), extra dims, pad] -> rgb MLP
+    output (N, >=3) — the color half of NerfNetwork::inference
+    (nerf_network.cuh:75-135), callable on baked features too."""
     sh = sh_encode_soa(dx, dy, dz, config.sh_degree, config.sh_out_padded)
     parts = [d_out.astype(compute_dtype), sh.astype(compute_dtype)]
     E = config.n_extra_learnable_dims
-    n = px.shape[0]
+    n = dx.shape[0]
     if E:
         if extra is None:
             extra = jnp.zeros((n, E))
@@ -81,8 +91,18 @@ def apply_network_soa(params: Params, px, py, pz, dx, dy, dz,
         parts.append(jnp.zeros((n, config.rgb_in_width - width),
                                compute_dtype))
     rgb_in = jnp.concatenate(parts, axis=-1)
-    rgb_out = mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
-    return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
+    return mlp_apply(rgb_in, params["rgb_mlp"], compute_dtype=compute_dtype)
+
+
+def rgb_from_features(params: Params, feat: jnp.ndarray, dir01: jnp.ndarray,
+                      config: NGPConfig, compute_dtype=jnp.bfloat16,
+                      extra: jnp.ndarray = None) -> jnp.ndarray:
+    """rgb_raw (N, 3) from PRE-COMPUTED density-MLP features (N, 16) —
+    the deferred-shade fast path over a baked feature grid
+    (ops/bake.py:bake_grids): no hash encode, no density MLP."""
+    rgb_out = _rgb_head(params, feat, dir01[..., 0], dir01[..., 1],
+                        dir01[..., 2], config, compute_dtype, extra)
+    return rgb_out[..., :3].astype(jnp.float32)
 
 
 def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,

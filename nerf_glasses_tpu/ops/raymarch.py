@@ -51,11 +51,12 @@ import numpy as np
 from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
-from nerf_glasses_tpu.ops.bake import sample_sigma_bricks
+from nerf_glasses_tpu.ops.bake import sample_feat_grid, sample_sigma_bricks
 from nerf_glasses_tpu.ops.compaction import stable_partition_ids
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           apply_network,
-                                          apply_rgb_activation)
+                                          apply_rgb_activation,
+                                          rgb_from_features)
 from nerf_glasses_tpu.utils.bbox import contains_aabb, ray_intersect_aabb
 
 
@@ -857,7 +858,12 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
     """Deferred shading: one network eval per surviving ray at its
     max-weight sample (position o + d*depth), scaled by the ray's
     accumulated NeRF weight wn, added into the composited color.
-    Compacted so only rays with wn > threshold pay the network."""
+    Compacted so only rays with wn > threshold pay the network.
+
+    When the scene carries a baked feature grid (scene["feat"],
+    ops/bake.py:bake_grids), the hash encode + density MLP are replaced
+    by one trilinear feature lookup (8 row gathers) + the rgb MLP —
+    zero hash-table traffic in the whole flash frame."""
     cfg = opts.config
     wn = st["wn"]
     n = wn.shape[0]
@@ -866,6 +872,7 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
     CH = min(opts.shade_chunk or opts.chunk, n)
     n_chunks = (n_sig + CH - 1) // CH
     extent = scene["train_max"] - scene["train_min"]
+    feat_grid = scene.get("feat")
 
     def body(i, rgba):
         idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
@@ -875,9 +882,15 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
         pos01 = jnp.clip((o + d * t[:, None] - scene["train_min"])
                          / extent, 0.0, 1.0)
         dir01 = (d + 1.0) * 0.5
-        rgb_raw, _ = apply_network(params, pos01, dir01, cfg,
-                                   compute_dtype=opts.cdtype,
-                                   extra=scene.get("extra_dims"))
+        if feat_grid is not None:
+            feat = sample_feat_grid(feat_grid, pos01)
+            rgb_raw = rgb_from_features(params, feat, dir01, cfg,
+                                        compute_dtype=opts.cdtype,
+                                        extra=scene.get("extra_dims"))
+        else:
+            rgb_raw, _ = apply_network(params, pos01, dir01, cfg,
+                                       compute_dtype=opts.cdtype,
+                                       extra=scene.get("extra_dims"))
         rgb = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
         add = jnp.concatenate(
             [rgb * wn[idx][:, None], jnp.zeros((CH, 1))], axis=-1)

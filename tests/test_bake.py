@@ -89,3 +89,53 @@ def test_flash_mode_matches_baked_on_opaque_sphere(tmp_path):
     assert float(diff_a.mean()) < 0.02, float(diff_a.mean())
     diff = np.abs(flash[..., :3] - base[..., :3])
     assert float(diff.mean()) < 0.03, float(diff.mean())
+
+
+def test_feature_grid_shade_exact_at_cell_centers():
+    """rgb_from_features over a baked feature grid reproduces the full
+    network's rgb exactly at bake cell centers (where trilinear lookup
+    returns the stored features)."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_glasses_tpu.config import NGPConfig
+    from nerf_glasses_tpu.ops.bake import bake_grids, sample_feat_grid
+    from nerf_glasses_tpu.ops.network import (apply_network, init_params,
+                                              rgb_from_features)
+    cfg = NGPConfig(n_levels=4, log2_hashmap_size=12, base_resolution=4,
+                    per_level_scale=2.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    R = 16
+    _, feat = bake_grids(params, cfg, resolution=R, features=True)
+    assert feat.shape == (R * R * R, 16)
+
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, R, size=(32, 3))          # (z, y, x)
+    pos = (idx[:, ::-1] + 0.5) / R                  # (x, y, z) in [0,1]
+    pos = jnp.asarray(pos, jnp.float32)
+    dir01 = jnp.asarray(rng.uniform(0.1, 0.9, (32, 3)), jnp.float32)
+
+    f = sample_feat_grid(feat, pos)
+    rgb_fast = np.asarray(rgb_from_features(params, f, dir01, cfg))
+    rgb_full, _ = apply_network(params, pos, dir01, cfg)
+    # bf16 feature storage is the only difference at cell centers
+    np.testing.assert_allclose(rgb_fast, np.asarray(rgb_full),
+                               atol=0.05, rtol=0.05)
+
+
+def test_bake_without_features_keeps_network_shade(tmp_path):
+    """bake(features=False) must fall back to the full-network deferred
+    shade (no scene["feat"])."""
+    from nerf_glasses_tpu.models.testbed import Testbed
+    from tests.helpers import write_test_snapshot, opaque_params
+    snap = tmp_path / "s.msgpack"
+    write_test_snapshot(snap, params=opaque_params(sigma_raw=6.0))
+    tb = Testbed()
+    tb.load_snapshot(str(snap))
+    tb.march_overrides = {"max_rounds": 64, "jitter": False}
+    tb.bake(96, features=False)
+    assert "feat" not in tb._scene()
+    tb.flash = True
+    frame = tb.render(32, 24, spp=1, linear=True)
+    assert np.isfinite(frame).all()
+    tb.bake(96, features=True)
+    assert "feat" in tb._scene()

@@ -33,6 +33,13 @@ VARIANTS = [
     ("dist 16", {"dist_advance": True, "advance_iters": 16}),
     ("dist 12", {"dist_advance": True, "advance_iters": 12}),
     ("dist 8", {"dist_advance": True, "advance_iters": 8}),
+    ("mip 24 chunk8192", {"chunk": 8192}),
+    ("dist 12 chunk8192", {"dist_advance": True, "advance_iters": 12,
+                           "chunk": 8192}),
+    ("dist 8 chunk8192", {"dist_advance": True, "advance_iters": 8,
+                          "chunk": 8192}),
+    ("dist 12 c8192 slack3", {"dist_advance": True, "advance_iters": 12,
+                              "chunk": 8192, "lowres_slack": 3.0 / 128.0}),
 ]
 
 
