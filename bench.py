@@ -42,7 +42,9 @@ import time
 import numpy as np
 
 W, H = 1280, 720
-N_FRAMES = 4          # frames per timing leg
+N_FRAMES = 8          # frames per timing leg (the tunnel's ~77 ms drain
+                      # roundtrip amortizes over the leg; 4 frames left
+                      # ~19 ms/frame of fetch latency in every number)
 N_ROUNDS = 3          # interleaved rounds over all paths
 GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf"
 ROOT = os.path.dirname(os.path.abspath(__file__))

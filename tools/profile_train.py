@@ -28,8 +28,12 @@ BASE = dict(config=NGPConfig.native_fast())
 
 VARIANTS = [
     ("default (splitVJP, 64s)", {}),
-    ("samples_per_ray=96", {"samples_per_ray": 96}),
     ("samples_per_ray=48", {"samples_per_ray": 48}),
+    ("march_hops=64", {"march_hops": 64}),
+    ("grid_samples=2^17", {"grid_samples_per_update": 1 << 17}),
+    ("rays=4096", {"rays_per_batch": 1 << 12}),
+    ("hops64+grid17", {"march_hops": 64,
+                       "grid_samples_per_update": 1 << 17}),
 ]
 
 
