@@ -42,6 +42,12 @@ import time
 import numpy as np
 
 W, H = 1280, 720
+# Flash-path bake: 512^3 sigma bricks render at the same fps as 256^3
+# (tools/profile_bakeres.py: 77.6 vs 77.4 ms) while halving the trained-
+# scene holdout gap (34.2 -> 38.1 dB, tools/psnr_trained_attrib.py); the
+# 16-wide feature grid stays at 256^3 (features vary smoothly; 512^3
+# would cost 4.3 GB).
+BAKE_RES, FEAT_RES = 512, 256
 N_FRAMES = 8          # frames per timing leg (the tunnel's ~77 ms drain
                       # roundtrip amortizes over the leg; 4 frames left
                       # ~19 ms/frame of fetch latency in every number)
@@ -225,7 +231,7 @@ def bench_trained_scene(quick=False):
         return outs
 
     unb = render_views("unbaked")
-    tb.bake(256)
+    tb.bake(BAKE_RES, feat_resolution=FEAT_RES)
     tb.flash = True
     fla = render_views("flash")
     tb.flash = False
@@ -258,7 +264,7 @@ def bench_trained_scene(quick=False):
     renderer.remove_floaties()
     cam0 = cam_snapshot(renderer)
     frame_unb = fidelity_frame(renderer, cam0)
-    nerf.bake(256)
+    nerf.bake(BAKE_RES, feat_resolution=FEAT_RES)
     nerf.flash = True
     frame_fla = fidelity_frame(renderer, cam0)
     fps_fla = time_orbit(renderer)
@@ -283,7 +289,7 @@ def main():
     cam0 = cam_snapshot(renderer)
 
     renderer2, nerf2 = make_renderer(snap)
-    nerf2.bake(256)
+    nerf2.bake(BAKE_RES, feat_resolution=FEAT_RES)
 
     # ----- fidelity frames at the fixed starting camera -----
     frame_unbaked = fidelity_frame(renderer, cam0)
@@ -346,7 +352,7 @@ def main():
         renderer3, nerf3 = make_renderer(snap_ref)
         cam3 = cam_snapshot(renderer3)
         frame_ref_unb = fidelity_frame(renderer3, cam3)
-        nerf3.bake(256)
+        nerf3.bake(BAKE_RES, feat_resolution=FEAT_RES)
         nerf3.flash = True
         frame_ref_flash = fidelity_frame(renderer3, cam3)
         psnr_ref_flash = psnr(frame_ref_flash, frame_ref_unb)

@@ -442,20 +442,30 @@ class Testbed:
         self._scene_cache = (key, scene)
         return scene
 
-    def bake(self, resolution: int = 256, features: bool = True):
+    def bake(self, resolution: int = 256, features: bool = True,
+             feat_resolution: int = None):
         """Bake the density field to a dense grid for fast rendering
         (ops/bake.py). Opt-in; color still comes from the full network at
         visible samples. Requires a single-cascade scene.
 
         features=True additionally bakes the density MLP's 16-wide
         output (the color MLP's position input) so the flash deferred
-        shade runs with zero hash-table traffic — both grids come from
-        the same network sweep."""
+        shade runs with zero hash-table traffic. feat_resolution
+        decouples the feature grid from the sigma grid (default: one
+        shared sweep): sigma quantization dominates the flash fidelity
+        loss on trained content (tools/psnr_trained_attrib.py: +2.8 dB
+        holdout at 384 sigma vs 256) while the 16-wide features vary
+        smoothly, so a high-res sigma + moderate feature grid bounds the
+        feature table's memory."""
         if self.config.max_cascade != 0:
             raise ValueError("baking currently supports aabb_scale == 1")
         from nerf_glasses_tpu.ops.bake import bake_grids, pack_sigma_bricks
+        same = feat_resolution is None or feat_resolution == resolution
         grid, feat = bake_grids(self.params, self.config, resolution,
-                                occ=self.occ, features=features)
+                                occ=self.occ, features=features and same)
+        if features and not same:
+            _, feat = bake_grids(self.params, self.config, feat_resolution,
+                                 features=True)
         # brick-packed layout: one 512B-row gather per trilinear sample
         self._baked_feat = feat
         # the _baked_sigma setter bumps _scene_version, invalidating the

@@ -31,7 +31,7 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
 
 
 def bake_grids(params, config: NGPConfig, resolution: int = 256,
-               batch: int = 1 << 18, occ=None, features: bool = False):
+               batch: int = 1 << 20, occ=None, features: bool = False):
     """Evaluate the density network at cell centers of a resolution^3
     grid over the unit cube -> (sigma (R, R, R) float32 [z, y, x],
     feat ((R^3, 16) bfloat16 raw density-MLP outputs, or None)).

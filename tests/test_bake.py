@@ -139,3 +139,24 @@ def test_bake_without_features_keeps_network_shade(tmp_path):
     assert np.isfinite(frame).all()
     tb.bake(96, features=True)
     assert "feat" in tb._scene()
+
+
+def test_bake_decoupled_feature_resolution(tmp_path):
+    """bake(resolution=..., feat_resolution=...) keeps a coarser feature
+    grid alongside the finer sigma bricks."""
+    from nerf_glasses_tpu.models.testbed import Testbed
+    from tests.helpers import write_test_snapshot, opaque_params
+    snap = tmp_path / "s.msgpack"
+    write_test_snapshot(snap, params=opaque_params(sigma_raw=6.0))
+    tb = Testbed()
+    tb.load_snapshot(str(snap))
+    tb.march_overrides = {"max_rounds": 64, "jitter": False}
+    tb.bake(128, feat_resolution=64)
+    assert tb._baked_feat.shape == (64 * 64 * 64, 16)
+    tb.flash = True
+    hi = tb.render(32, 24, spp=1, linear=True)
+    tb.bake(128)          # shared-sweep features at 128
+    tb.reset_accumulation()
+    full = tb.render(32, 24, spp=1, linear=True)
+    # smooth scene: the coarser feature grid barely moves the output
+    assert float(np.abs(hi - full).mean()) < 0.02
