@@ -102,13 +102,23 @@ class NerfMeshRenderer:
     # Loading
     # ------------------------------------------------------------------
 
-    def load_nerf(self, path: str) -> Testbed:
-        """loadNerf (nerf_mesh_renderer.cu:967-1000)."""
+    def load_nerf(self, path: str, bake: bool = False,
+                  bake_resolution: int = 512,
+                  feat_resolution: int = 256) -> Testbed:
+        """loadNerf (nerf_mesh_renderer.cu:967-1000).
+
+        `bake=True` (extension; single-cascade snapshots only) bakes the
+        density + feature grids on load and enables the flash fast path
+        — one call from snapshot to the ~10x render path the bench
+        headlines, for any Instant-NGP snapshot with aabb_scale 1."""
         name = os.path.splitext(os.path.basename(path))[0]
         nerf = Testbed(name)
         nerf.load_snapshot(path)
         nerf.set_fov(45.0)
         nerf.camera_matrix = self.view_projection_mat.copy()
+        if bake:
+            nerf.bake(bake_resolution, feat_resolution=feat_resolution)
+            nerf.flash = True
         self._nerfs.append(nerf)
         return nerf
 

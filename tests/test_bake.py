@@ -160,3 +160,19 @@ def test_bake_decoupled_feature_resolution(tmp_path):
     full = tb.render(32, 24, spp=1, linear=True)
     # smooth scene: the coarser feature grid barely moves the output
     assert float(np.abs(hi - full).mean()) < 0.02
+
+
+def test_load_nerf_bake_flag(tmp_path):
+    """renderer.load_nerf(path, bake=True) wires the flash fast path in
+    one call (bake + flash enabled)."""
+    import pynmr as nmr
+    from tests.helpers import write_test_snapshot, opaque_params
+    snap = tmp_path / "s.msgpack"
+    write_test_snapshot(snap, params=opaque_params(sigma_raw=6.0))
+    r = nmr.NerfMeshRenderer(32, 24)
+    nerf = r.load_nerf(str(snap), bake=True, bake_resolution=64,
+                       feat_resolution=64)
+    assert nerf.flash and nerf._baked_sigma is not None
+    r.frame()
+    img = r.display_image()
+    assert np.isfinite(img).all()
