@@ -22,7 +22,7 @@ import numpy as np
 
 from nerf_glasses_tpu.utils.camera import V_LENGTH_QUIRK, look_to, pack_camera
 
-SCENE_VERSION = 4
+SCENE_VERSION = 5   # v5: trained under the 48-samples/ray default
 W = H = 400
 N_TRAIN = 24
 N_HOLDOUT = 4

@@ -45,14 +45,18 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
 @dataclasses.dataclass(frozen=True)
 class TrainOptions:
     config: NGPConfig
-    # 2048 rays x 64 max samples: the step cost is linear in
+    # 2048 rays x 48 max samples: the step cost is linear in
     # rays*samples (dominated by the hash-table gradient scatter,
-    # tools/profile_train.py / profile_scatter.py), and 64 stratified
-    # samples still cover a converged ray's occupied span at ~2.5x the
-    # render step size. 4096x128 with full backward buffers exceeds one
-    # v5e's HBM for the full-size (T=2^19) network.
+    # tools/profile_train.py / profile_scatter.py). 48 stratified
+    # samples still cover a converged ray's occupied span at ~1.9x the
+    # render step size; same-seed A/B on the bench capture
+    # (tools/ab_train_quality.py): 48s reaches the train.py loss
+    # contract in 544 steps / holdout 38.81 dB vs 64s' 528 steps /
+    # 39.05 dB, at 150 vs 198 ms/step (6.6 vs 5.0 steps/s) — 10k
+    # steps in ~25 min on one v5e chip. 4096x128 with full backward
+    # buffers exceeds one v5e's HBM for the full-size (T=2^19) network.
     rays_per_batch: int = 1 << 11
-    samples_per_ray: int = 64
+    samples_per_ray: int = 48
     # occupancy-DDA hops in the (non-differentiable) pass that measures
     # each training ray's occupied length before stratified sampling
     march_hops: int = 128

@@ -1,5 +1,10 @@
-"""Does samples_per_ray=48 (6.5 steps/s measured, -> 10k steps in ~26
-min) hold training quality vs the default 64 (4.9 steps/s, ~34 min)?
+"""Does samples_per_ray=48 (6.65 steps/s measured, -> 10k steps in ~25
+min) hold training quality vs 64 (5.04 steps/s, ~33 min)?
+
+MEASURED (same run, seed 3, 2026-08-18): 48s contract at 544 steps /
+122.1 s wall, holdout 38.81 dB; 64s contract at 528 steps / 192.1 s,
+holdout 39.05 dB. -0.24 dB for 1.57x faster wall-to-contract -> 48 is
+the TrainOptions default.
 
 Trains the bench_scene capture twice to the volume/train.py contract
 (loss < 0.00175) + settle, and reports steps-to-contract, wall time,
