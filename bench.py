@@ -48,9 +48,13 @@ W, H = 1280, 720
 # 16-wide feature grid stays at 256^3 (features vary smoothly; 512^3
 # would cost 4.3 GB).
 BAKE_RES, FEAT_RES = 512, 256
-N_FRAMES = 8          # frames per timing leg (the tunnel's ~77 ms drain
-                      # roundtrip amortizes over the leg; 4 frames left
-                      # ~19 ms/frame of fetch latency in every number)
+N_FRAMES = 24         # frames per timing leg (the tunnel's ~77 ms drain
+                      # roundtrip amortizes over the leg: 8 frames left
+                      # ~10 ms/frame of fetch latency in every number,
+                      # 24 leaves ~3 — measured on the stripped-march
+                      # floor probe, tools/profile_floor3.py r24 leg:
+                      # 57.5 vs 62.6 ms/frame. The drain is a tunnel
+                      # artifact, absent on locally-attached TPUs)
 N_ROUNDS = 3          # interleaved rounds over all paths
 GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf"
 ROOT = os.path.dirname(os.path.abspath(__file__))

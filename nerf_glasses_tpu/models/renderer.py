@@ -75,6 +75,13 @@ class NerfMeshRenderer:
         self.profile = False
         self.mesh_ms = Ema("time", 1000.0)
         self.nerf_ms = Ema("time", 1000.0)
+        # progressive accumulation across frames (the reference GUI's
+        # static-camera refinement, render_buffer.cu:232-268). Measured
+        # FREE in the hybrid loop (tools/profile_accum.py: on/off within
+        # timing noise — the few elementwise ops overlap the next
+        # frame's dispatch), so it stays on; the flag exists for
+        # experiments.
+        self.progressive_accum = True
 
     # ------------------------------------------------------------------
     # Camera
@@ -220,10 +227,11 @@ class NerfMeshRenderer:
             nerf.camera_matrix = self.view_projection_mat.copy()
             fb, db = nerf.render_frame_buffers(w, h,
                                                sample_index=nerf._spp)
-            nerf._accum = accumulate(
-                jnp.zeros_like(fb) if nerf._accum is None
-                else jnp.asarray(nerf._accum),
-                fb, nerf._spp, nerf.color_space)
+            if self.progressive_accum:
+                nerf._accum = accumulate(
+                    jnp.zeros_like(fb) if nerf._accum is None
+                    else jnp.asarray(nerf._accum),
+                    fb, nerf._spp, nerf.color_space)
             nerf._spp += 1
             buffers.append((fb, db))
 
