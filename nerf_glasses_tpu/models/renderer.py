@@ -76,12 +76,15 @@ class NerfMeshRenderer:
         self.mesh_ms = Ema("time", 1000.0)
         self.nerf_ms = Ema("time", 1000.0)
         # progressive accumulation across frames (the reference GUI's
-        # static-camera refinement, render_buffer.cu:232-268). Measured
-        # FREE in the hybrid loop (tools/profile_accum.py: on/off within
-        # timing noise — the few elementwise ops overlap the next
-        # frame's dispatch), so it stays on; the flag exists for
-        # experiments.
+        # static-camera refinement, render_buffer.cu:232-268): while the
+        # camera holds still the composited frames average into
+        # self._accum (keyed on the first NeRF's spp counter, which
+        # resets on camera movement) and display_image() shows the
+        # average. Measured FREE in the hybrid loop
+        # (tools/profile_accum.py: on/off within timing noise — the few
+        # elementwise ops overlap the next frame's dispatch).
         self.progressive_accum = True
+        self._accum = None          # (H, W, 4) running spp average
 
     # ------------------------------------------------------------------
     # Camera
@@ -227,11 +230,6 @@ class NerfMeshRenderer:
             nerf.camera_matrix = self.view_projection_mat.copy()
             fb, db = nerf.render_frame_buffers(w, h,
                                                sample_index=nerf._spp)
-            if self.progressive_accum:
-                nerf._accum = accumulate(
-                    jnp.zeros_like(fb) if nerf._accum is None
-                    else jnp.asarray(nerf._accum),
-                    fb, nerf._spp, nerf.color_space)
             nerf._spp += 1
             buffers.append((fb, db))
 
@@ -250,6 +248,22 @@ class NerfMeshRenderer:
             del t_nerf0
         self._frame_buffer = frame
         self._depth_buffer = depth
+
+        # progressive accumulation of the merged frame. The sample index
+        # is the first NeRF's pre-increment spp, which reset_accumulation
+        # zeroes on camera movement — so the average restarts exactly
+        # when the reference's render buffer would. Toggling the flag on
+        # mid-session starts a fresh average (no blend into stale/zero
+        # state).
+        if self.progressive_accum and self._nerfs:
+            spp = self._nerfs[0]._spp - 1
+            if spp <= 0 or self._accum is None:
+                spp = 0
+            self._accum = accumulate(
+                jnp.zeros_like(frame) if spp == 0 else self._accum,
+                frame, spp, self._nerfs[0].color_space)
+        else:
+            self._accum = None
 
     def stats(self) -> dict:
         """Live render statistics — the headless analogue of the
@@ -271,6 +285,10 @@ class NerfMeshRenderer:
             "n_nerfs": len(self._nerfs),
             "n_meshes": len(self._meshes),
             "frame_count": self._frame_count,
+            # which march path the active NeRF's last render actually
+            # took (flash / baked / unbaked, with fallback annotation)
+            "render_path": (getattr(self._nerfs[0], "last_render_path",
+                                    None) if self._nerfs else None),
         }
 
     # ------------------------------------------------------------------
@@ -281,7 +299,9 @@ class NerfMeshRenderer:
         """Tonemapped composited frame -> (H, W, 4) float sRGB."""
         if self._frame_buffer is None:
             self.render_frame()
-        fb = jnp.asarray(self._frame_buffer)
+        fb = jnp.asarray(self._accum if (self.progressive_accum
+                                         and self._accum is not None)
+                         else self._frame_buffer)
         nerf = self._nerfs[0] if self._nerfs else None
         bg = (nerf.background_color if nerf is not None
               else np.array([1.0, 1, 1, 1], np.float32))

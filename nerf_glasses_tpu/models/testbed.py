@@ -204,6 +204,7 @@ class Testbed:
 
         self._snapshot_path: Optional[str] = None
         self.march_overrides = {}
+        self.last_render_path = None   # set by render_frame_buffers
 
     # scene-array slots (see _scene_version note in __init__)
     @property
@@ -451,21 +452,26 @@ class Testbed:
         features=True additionally bakes the density MLP's 16-wide
         output (the color MLP's position input) so the flash deferred
         shade runs with zero hash-table traffic. feat_resolution
-        decouples the feature grid from the sigma grid (default: one
-        shared sweep): sigma quantization dominates the flash fidelity
-        loss on trained content (tools/psnr_trained_attrib.py: +2.8 dB
-        holdout at 384 sigma vs 256) while the 16-wide features vary
-        smoothly, so a high-res sigma + moderate feature grid bounds the
-        feature table's memory."""
+        decouples the feature grid from the sigma grid: sigma
+        quantization dominates the flash fidelity loss on trained
+        content (tools/psnr_trained_attrib.py: +2.8 dB holdout at 384
+        sigma vs 256) while the 16-wide features vary smoothly, so a
+        high-res sigma + moderate feature grid bounds the feature
+        table's memory. Default feat_resolution = min(resolution, 256):
+        a 512^3 bf16 feature table is 4.3 GB — enough to OOM a 16 GB
+        chip next to params and frame buffers — for no measured
+        fidelity gain."""
         if self.config.max_cascade != 0:
             raise ValueError("baking currently supports aabb_scale == 1")
         from nerf_glasses_tpu.ops.bake import bake_grids, pack_sigma_bricks
-        same = feat_resolution is None or feat_resolution == resolution
+        if feat_resolution is None:
+            feat_resolution = min(resolution, 256)
+        same = feat_resolution == resolution
         grid, feat = bake_grids(self.params, self.config, resolution,
                                 occ=self.occ, features=features and same)
         if features and not same:
             _, feat = bake_grids(self.params, self.config, feat_resolution,
-                                 features=True)
+                                 occ=self.occ, features=True)
         # brick-packed layout: one 512B-row gather per trilinear sample
         self._baked_feat = feat
         # the _baked_sigma setter bumps _scene_version, invalidating the
@@ -522,9 +528,32 @@ class Testbed:
                 lens_mode = md.lens_mode
                 lens_params = md.lens_params
             distortion_grid = self.distortion_map
+        opts = self._march_options()
+        # record which render path actually runs (verdict: a flash=True
+        # user rendering with DoF/lens modes silently got the 10x slower
+        # exact path with no signal)
+        plain_cam = (lens_mode == "perspective"
+                     and distortion_grid is None and camera_end is None
+                     and opts.aperture_size == 0.0)
+        if opts.use_baked_sigma and opts.lowres_factor > 1:
+            if plain_cam:
+                self.last_render_path = "flash"
+            else:
+                self.last_render_path = "baked (flash disabled: non-plain camera)"
+                if not getattr(self, "_warned_flash_fallback", False):
+                    self._warned_flash_fallback = True
+                    import sys
+                    print("nerf-glasses-tpu: flash coarse init supports "
+                          "plain perspective cameras only; this render "
+                          "(DoF/lens/shutter/distortion) uses the baked "
+                          "march without it", file=sys.stderr)
+        elif opts.use_baked_sigma:
+            self.last_render_path = "baked"
+        else:
+            self.last_render_path = "unbaked"
         return raymarch.render_image_device(
             self.params, self._scene(), self.camera_matrix, width, height,
-            self._march_options(), surface_rgba, t_surface, sample_index,
+            opts, surface_rgba, t_surface, sample_index,
             linear_colors=self._training_view.linear_colors,
             lens_mode=lens_mode, lens_params=lens_params,
             snap_centers=self.snap_to_pixel_centers,

@@ -21,6 +21,8 @@ TPU where random gathers are the wall).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,24 @@ import numpy as np
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           density_raw)
+
+
+def _occ_mask(occ, R: int) -> Optional[np.ndarray]:
+    """(8, G, G, G) or (G, G, G) occupancy -> (R, R, R) bool mask of the
+    1-voxel-dilated occupied region, nearest-neighbor resampled.
+    The dilation keeps boundary trilinear corners alive."""
+    if occ is None:
+        return None
+    o = np.asarray(occ)
+    if o.ndim == 4:
+        o = o[0]
+    m = o > 0
+    md = m.copy()
+    for axis in range(3):
+        md = (md | np.roll(md, 1, axis) | np.roll(md, -1, axis))
+    G = m.shape[0]
+    i = np.minimum((np.arange(R) * G) // R, G - 1)
+    return md[np.ix_(i, i, i)]
 
 
 def bake_grids(params, config: NGPConfig, resolution: int = 256,
@@ -42,50 +62,65 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
     (nerf_network.cuh:75-135), so a deferred-shade pass can replace the
     hash-encode + density MLP with one trilinear lookup (scene["feat"]).
 
-    When `occ` ((8, G, G, G) or (G, G, G) occupancy) is given, sigma is
-    zeroed outside the (1-voxel-dilated) occupied region: the network
-    emits junk density in space the occupancy grid culls, and render
-    paths that trust the baked grid for emptiness (flash/vector rounds)
-    would otherwise composite it as fog. (`feat` is never masked — it is
-    only read at compositing-significant samples, which the sigma grid
-    already confines to occupied space.)"""
+    When `occ` ((8, G, G, G) or (G, G, G) occupancy) is given, the
+    network is evaluated ONLY inside the (1-voxel-dilated) occupied
+    region and both outputs are zero elsewhere. Correctness: the
+    network emits junk density in space the occupancy grid culls, and
+    render paths that trust the baked grid for emptiness (flash/vector
+    rounds) would otherwise composite it as fog; `feat` is only read at
+    compositing-significant samples, which the sigma grid confines to
+    occupied space. Cost: the sweep visits ~the occupied fraction of
+    cells (converged captures: ~10%) instead of all R^3."""
     R = resolution
-    g = (np.arange(R, dtype=np.float32) + 0.5) / R
-    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
-    pos = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    up = _occ_mask(occ, R)
 
     fn = jax.jit(lambda p, x: density_raw(p, x, config))
-    sig = []
-    feat = []
-    for s in range(0, pos.shape[0], batch):
-        d_out = fn(params, jnp.asarray(pos[s:s + batch]))
-        sig.append(apply_density_activation(d_out[:, 0],
-                                            config.density_activation))
-        if features:
-            feat.append(d_out.astype(jnp.bfloat16))
-    grid = jnp.concatenate(sig).reshape(R, R, R)
-    feat = jnp.concatenate(feat) if features else None
-    if occ is not None:
-        o = np.asarray(occ)
-        if o.ndim == 4:
-            o = o[0]
-        m = o > 0
-        # 3^3 max-pool dilation keeps boundary trilinear corners alive
-        md = m.copy()
-        for axis in range(3):
-            md = (md | np.roll(md, 1, axis) | np.roll(md, -1, axis))
-        G = m.shape[0]
-        # nearest-neighbor resample of the (dilated) mask to R^3
-        i = np.minimum((np.arange(R) * G) // R, G - 1)
-        up = md[np.ix_(i, i, i)]
-        grid = grid * jnp.asarray(up.astype(np.float32))
-    return grid, feat
+
+    def sweep(pos_sel):
+        sig, feat = [], []
+        for s in range(0, pos_sel.shape[0], batch):
+            d_out = fn(params, jnp.asarray(pos_sel[s:s + batch]))
+            sig.append(np.asarray(
+                apply_density_activation(d_out[:, 0],
+                                         config.density_activation),
+                np.float32))
+            if features:
+                feat.append(np.asarray(d_out, np.float32))
+        sig = (np.concatenate(sig) if sig
+               else np.zeros((0,), np.float32))
+        feat = (np.concatenate(feat) if features and feat
+                else (np.zeros((0, 16), np.float32) if features else None))
+        return sig, feat
+
+    g = (np.arange(R, dtype=np.float32) + 0.5) / R
+    if up is None:
+        zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+        pos = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+        sig, feat = sweep(pos)
+        grid = jnp.asarray(sig.reshape(R, R, R))
+        return grid, (jnp.asarray(feat, jnp.bfloat16) if features else None)
+
+    idx = np.flatnonzero(up.ravel())            # [z, y, x] ravel order
+    iz, rem = np.divmod(idx, R * R)
+    iy, ix = np.divmod(rem, R)
+    pos = np.stack([g[ix], g[iy], g[iz]], -1).astype(np.float32)
+    sig, feat = sweep(pos)
+    full = np.zeros(R * R * R, np.float32)
+    full[idx] = sig
+    grid = jnp.asarray(full.reshape(R, R, R))
+    if not features:
+        return grid, None
+    feat_full = np.zeros((R * R * R, 16), np.float32)
+    feat_full[idx] = feat
+    return grid, jnp.asarray(feat_full, jnp.bfloat16)
 
 
 def bake_density_grid(params, config: NGPConfig, resolution: int = 256,
-                      batch: int = 1 << 18, occ=None) -> jnp.ndarray:
-    """Activated density at cell centers -> (R, R, R); see bake_grids."""
-    return bake_grids(params, config, resolution, batch, occ)[0]
+                      batch: Optional[int] = None, occ=None) -> jnp.ndarray:
+    """Activated density at cell centers -> (R, R, R); see bake_grids.
+    batch=None defers to bake_grids' tuned default."""
+    kw = {} if batch is None else {"batch": batch}
+    return bake_grids(params, config, resolution, occ=occ, **kw)[0]
 
 
 def sample_feat_grid(feat: jnp.ndarray, pos01: jnp.ndarray) -> jnp.ndarray:

@@ -115,6 +115,14 @@ class MarchOptions:
     # weight. Exact for a surface whose color is locally constant over
     # the crossing; the bench PSNR gate bounds the real deviation.
     deferred_color: bool = False
+    # Per-SAMPLE color from the baked feature grid (requires
+    # scene["feat"]): the significant-sample color pass samples the
+    # 16-wide feature table + rgb MLP instead of the full network
+    # (hash encode + density MLP). Exact per-sample compositing
+    # structure (unlike deferred_color's one-eval-per-ray
+    # approximation) at feature-grid quantization cost. Ignored when
+    # deferred_color is set.
+    feat_color: bool = False
     # Chunk size of the deferred-shade pass (None = the march chunk).
     # Probed on v5e: decoupling to 8192 for bigger MXU batches LOSES
     # (6.80 vs 7.21 fps on the hybrid flash frame, same-run interleaved)
@@ -760,12 +768,21 @@ def _march_round(st, params, scene, opts: MarchOptions):
             dir_flat = dir01_k.reshape(-1, 3)
             rgb_flat = jnp.zeros((total, 3))
 
+            use_feat = opts.feat_color and "feat" in scene
+
             def sub_body(i, rgb_flat):
                 sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
-                rgb_raw, _ = apply_network(
-                    params, pos_flat[sel], dir_flat[sel], cfg,
-                    compute_dtype=opts.cdtype,
-                    extra=scene.get("extra_dims"))
+                if use_feat:
+                    feat = sample_feat_grid(scene["feat"], pos_flat[sel])
+                    rgb_raw = rgb_from_features(
+                        params, feat, dir_flat[sel], cfg,
+                        compute_dtype=opts.cdtype,
+                        extra=scene.get("extra_dims"))
+                else:
+                    rgb_raw, _ = apply_network(
+                        params, pos_flat[sel], dir_flat[sel], cfg,
+                        compute_dtype=opts.cdtype,
+                        extra=scene.get("extra_dims"))
                 rgb_sel = apply_rgb_activation(rgb_raw, cfg.rgb_activation)
                 return rgb_flat.at[sel].set(rgb_sel)
 

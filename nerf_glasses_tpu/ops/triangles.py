@@ -20,6 +20,7 @@ texture sampling.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import List, Optional, Tuple
 
 import jax
@@ -31,6 +32,7 @@ from nerf_glasses_tpu.ops.colors import linear_to_srgb
 from nerf_glasses_tpu.ops.compaction import stable_partition_ids
 
 _BIG = np.float32(1e16)
+_MESH_VERSION = itertools.count()
 
 
 @dataclasses.dataclass
@@ -54,6 +56,10 @@ class MeshArrays:
     normal_scale: jnp.ndarray     # (M,)
     occlusion_strength: jnp.ndarray  # (M,)
     _tile_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+    # monotonic build counter: jit caches that close over a MeshArrays
+    # key on this instead of id() (ids are reused after GC — the same
+    # hazard Testbed._scene_version fixes for scene arrays)
+    version: int = 0
 
     @property
     def n_tris(self) -> int:
@@ -129,6 +135,7 @@ def build_mesh_arrays(scenes) -> Optional[MeshArrays]:
                                 np.float32)),
         occlusion_strength=j(np.array([m.occlusion_strength
                                        for m in materials], np.float32)),
+        version=next(_MESH_VERSION),
     )
 
 

@@ -257,7 +257,7 @@ def render_hybrid_sharded(params, scene, tri_mesh, xforms, nrm_mats,
     """Full hybrid frame (mesh pass + flash init + march) with rows
     sharded across the device mesh -> (frame (H,W,4) linear
     premultiplied, depth (H,W)) numpy."""
-    key = (id(tri_mesh), opts, width, height, mesh.devices.size)
+    key = (tri_mesh.version, opts, width, height, mesh.devices.size)
     fn = _HYBRID_FN_CACHE.get(key)
     if fn is None:
         fn = make_hybrid_frame_sharded(mesh, tri_mesh, opts, width, height)
@@ -275,10 +275,11 @@ def render_hybrid_sharded(params, scene, tri_mesh, xforms, nrm_mats,
 # Sharded training (DP over the ray batch, psum grads)
 # ---------------------------------------------------------------------------
 
-def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
-                            axis: str = "data"):
-    """-> fn(state, data) -> (state, loss). The per-chip batch is
-    opts.rays_per_batch // n_devices; gradients are psum'd over ICI."""
+def _make_local_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
+                     axis: str = "data"):
+    """One data-parallel training step as a shard_map-local function
+    (state/data replicated; each chip samples its own rays; grads/loss
+    pmean'd over ICI)."""
     n_dev = mesh.devices.size
     local_rays = opts.rays_per_batch // n_dev
     assert local_rays * n_dev == opts.rays_per_batch
@@ -329,8 +330,15 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
                 state["error_map"], sum_g, cnt_g, opts.error_map_beta)
         return out, loss
 
+    return local_step
+
+
+def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
+                            axis: str = "data"):
+    """-> fn(state, data) -> (state, loss). The per-chip batch is
+    opts.rays_per_batch // n_devices; gradients are psum'd over ICI."""
     fn = jax.shard_map(
-        local_step, mesh=mesh,
+        _make_local_step(mesh, opts, axis), mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
@@ -338,14 +346,57 @@ def make_sharded_train_step(mesh: Mesh, opts: trainer_mod.TrainOptions,
     return jax.jit(fn)
 
 
+def make_sharded_train_chunk(mesh: Mesh, opts: trainer_mod.TrainOptions,
+                             axis: str = "data"):
+    """-> fn(state, data, n_steps, update_grid, rebuild_occ) ->
+    (state, losses (n_steps,)): the multi-chip analogue of
+    trainer.train_chunk. The periodic density-grid update runs fused at
+    the top (replicated — every chip computes the identical update from
+    the replicated state/rng), then `n_steps` DP steps scan INSIDE one
+    shard_map: no host sync anywhere in the chunk (the round-3
+    ShardedTrainer fetched float(loss) every step, serializing real
+    multi-chip hardware on the host round trip — SURVEY §2.9's
+    psum-per-step design with a host sync in the middle defeats it)."""
+    local_step = _make_local_step(mesh, opts, axis)
+
+    def local_chunk(state, data, n_steps):
+        def body(st, _):
+            return local_step(st, data)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    @partial(jax.jit, static_argnames=("n_steps", "update_grid",
+                                       "rebuild_occ"), donate_argnums=(0,))
+    def chunk(state, data, n_steps: int, update_grid: bool,
+              rebuild_occ: bool):
+        if update_grid:
+            state = trainer_mod._update_density_grid_body(
+                state, opts, rebuild_occ)
+        fn = jax.shard_map(
+            partial(local_chunk, n_steps=n_steps), mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, data)
+
+    return chunk
+
+
 class ShardedTrainer(trainer_mod.Trainer):
-    """Trainer with the ray batch data-parallel over a device mesh."""
+    """Trainer with the ray batch data-parallel over a device mesh.
+
+    Steps dispatch in grid-cadence chunks (make_sharded_train_chunk):
+    the density-grid update + up to grid_update_interval DP steps run as
+    ONE device program with a single loss fetch at the end — the same
+    no-per-step-host-sync discipline as the single-chip Trainer.train."""
 
     def __init__(self, dataset, opts=None, seed: int = 1337,
                  mesh: Optional[Mesh] = None):
         super().__init__(dataset, opts, seed)
         self.mesh = mesh if mesh is not None else make_mesh()
         self._step_fn = make_sharded_train_step(self.mesh, self.opts)
+        self._chunk_fn = make_sharded_train_chunk(self.mesh, self.opts)
         # replicate state + data across the mesh
         rep = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, rep)
@@ -354,17 +405,33 @@ class ShardedTrainer(trainer_mod.Trainer):
     def train(self, n_steps: int = 1, callback=None) -> float:
         if not hasattr(self, "loss_history"):
             self.loss_history = []
-        for _ in range(n_steps):
-            if self.step % self.opts.grid_update_interval == 0:
-                self.state = trainer_mod.update_density_grid(
-                    self.state, self.opts,
-                    rebuild_occ=self.step >= self.occ_warmup_steps)
-            self.state, loss = self._step_fn(self.state, self.data)
-            self._host_step += 1
-            self.loss = float(loss)
-            self.loss_history.append(self.loss)
-            if len(self.loss_history) > self.loss_history_capacity:
-                del self.loss_history[:-self.loss_history_capacity]
-            if callback is not None:
-                callback(self.step, self.loss)
+        interval = self.opts.grid_update_interval
+        loss_chunks = []
+        remaining = n_steps
+        while remaining > 0:
+            step = self._host_step
+            update = step % interval == 0
+            n = min(interval - step % interval, remaining)
+            rebuild = step >= self.occ_warmup_steps
+            if callback is None:
+                with self.mesh:
+                    self.state, losses = self._chunk_fn(
+                        self.state, self.data, n, update, rebuild)
+                loss_chunks.append(losses)
+            else:
+                if update:
+                    self.state = trainer_mod.update_density_grid(
+                        self.state, self.opts, rebuild_occ=rebuild)
+                for i in range(n):
+                    self.state, loss = self._step_fn(self.state, self.data)
+                    lf = float(loss)
+                    callback(step + i + 1, lf)
+                    loss_chunks.append(jnp.full((1,), lf))
+            self._host_step += n
+            remaining -= n
+        all_losses = np.asarray(jnp.concatenate(loss_chunks), np.float32)
+        self.loss = float(all_losses[-1])
+        self.loss_history.extend(float(l) for l in all_losses)
+        if len(self.loss_history) > self.loss_history_capacity:
+            del self.loss_history[:-self.loss_history_capacity]
         return self.loss

@@ -50,8 +50,8 @@ def main():
     print(f"unbaked: vs_gt={p_unb:.2f}", flush=True)
 
     def probe(label, bake_res=256, flash=True, deferred=None,
-              features=True, **ov):
-        tb.bake(bake_res, features=features)
+              features=True, feat_res=None, **ov):
+        tb.bake(bake_res, features=features, feat_resolution=feat_res)
         tb.flash = flash
         if deferred is not None:
             tb.deferred_shading = deferred
@@ -65,16 +65,36 @@ def main():
         p_u = float(np.mean([bench.psnr(a, b) for a, b in zip(out, unb)]))
         print(f"{label}: vs_gt={p_gt:.2f} vs_unbaked={p_u:.2f}", flush=True)
 
-    probe("baked256 (sig color)", flash=False)
-    probe("baked256+deferred", flash=False, deferred=True)
-    probe("flash256 (bundle)")
-    probe("flash256 net-shade", features=False)
-    probe("flash256+occgate", vector_occ_gate=True)
-    probe("flash256+adv48", advance_iters=48)
-    probe("flash256+F4", lowres_factor=4)
-    probe("flash256+spr32", steps_per_round=32)
-    probe("flash384", bake_res=384)
-    probe("flash512", bake_res=512)
+    probes = {
+        "baked256": lambda: probe("baked256 (sig color)", flash=False),
+        "b256def": lambda: probe("baked256+deferred", flash=False,
+                                 deferred=True),
+        "flash256": lambda: probe("flash256 (bundle)"),
+        "netshade": lambda: probe("flash256 net-shade", features=False),
+        "occgate": lambda: probe("flash256+occgate", vector_occ_gate=True),
+        "adv48": lambda: probe("flash256+adv48", advance_iters=48),
+        "F4": lambda: probe("flash256+F4", lowres_factor=4),
+        "spr32": lambda: probe("flash256+spr32", steps_per_round=32),
+        "flash384": lambda: probe("flash384", bake_res=384),
+        "flash512": lambda: probe("flash512", bake_res=512),
+        "flash640": lambda: probe("flash640", bake_res=640),
+        "flash768": lambda: probe("flash768", bake_res=768),
+        # error decomposition at 512: per-sample color paths isolate the
+        # deferred one-eval-per-ray approximation from sigma quantization
+        "sigcolor512": lambda: probe("flash512+sigcolor (network/sample)",
+                                     bake_res=512, deferred_color=False),
+        "featcolor512": lambda: probe("flash512+featcolor (grid/sample)",
+                                      bake_res=512, deferred_color=False,
+                                      feat_color=True),
+        "featcolor768": lambda: probe("flash768+featcolor", bake_res=768,
+                                      deferred_color=False,
+                                      feat_color=True),
+        "feat384": lambda: probe("flash512+feat384", bake_res=512,
+                                 feat_res=384),
+    }
+    names = [a for a in sys.argv[1:] if a in probes] or list(probes)
+    for nm in names:
+        probes[nm]()
 
 
 if __name__ == "__main__":
