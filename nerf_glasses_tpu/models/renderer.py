@@ -114,13 +114,22 @@ class NerfMeshRenderer:
 
     def load_nerf(self, path: str, bake: bool = False,
                   bake_resolution: int = 512,
-                  feat_resolution: int = 256) -> Testbed:
+                  feat_resolution: int = 256,
+                  verify_fidelity: bool = True,
+                  verify_threshold_db: float = 30.0) -> Testbed:
         """loadNerf (nerf_mesh_renderer.cu:967-1000).
 
         `bake=True` (extension; single-cascade snapshots only) bakes the
         density + feature grids on load and enables the flash fast path
         — one call from snapshot to the ~10x render path the bench
-        headlines, for any Instant-NGP snapshot with aabb_scale 1."""
+        headlines, for any Instant-NGP snapshot with aabb_scale 1.
+        Because flash's speed bundle drops the per-sample occupancy gate,
+        an arbitrary user scene gets a fidelity auto-probe at bake time
+        (Testbed.verify_bake_fidelity): one low-res frame fast-vs-exact;
+        below 30 dB the probe escalates (gate back on -> flash off ->
+        unbake) with a warning. verify_fidelity=False skips the probe
+        (e.g. when the caller runs its own PSNR gate, as bench.py
+        does)."""
         name = os.path.splitext(os.path.basename(path))[0]
         nerf = Testbed(name)
         nerf.load_snapshot(path)
@@ -129,6 +138,8 @@ class NerfMeshRenderer:
         if bake:
             nerf.bake(bake_resolution, feat_resolution=feat_resolution)
             nerf.flash = True
+            if verify_fidelity:
+                nerf.verify_bake_fidelity(threshold_db=verify_threshold_db)
         self._nerfs.append(nerf)
         return nerf
 

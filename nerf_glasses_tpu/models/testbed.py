@@ -483,6 +483,100 @@ class Testbed:
         self._baked_feat = None
         self._baked_sigma = None
 
+    def verify_bake_fidelity(self, width: int = 160, height: int = 160,
+                             threshold_db: float = 30.0, camera=None,
+                             ) -> tuple:
+        """Auto-probe the baked/flash fast path against the exact
+        renderer on ONE low-res frame -> (psnr_db, action).
+
+        The flash bundle trades a per-sample occupancy gate for ~18 ms
+        per 720p frame; on well-converged captures the gate changes
+        nothing, but a pathological scene (e.g. content the bake
+        resolution cannot represent) can silently render 0.2-alpha
+        phantoms (ops/raymarch.py MarchOptions.vector_occ_gate).
+        load_nerf(bake=True) calls this at bake time so arbitrary USER
+        scenes get a fidelity check, not just the bench (which gates
+        every fast path per run). Escalation ladder when PSNR vs the
+        exact render is below `threshold_db`:
+
+          1. re-enable the per-sample occupancy gate (vector_occ_gate),
+          2. drop flash, keep the baked sigma grid (per-sample network
+             color),
+          3. unbake entirely (exact path).
+
+        Each step that fires emits a warnings.warn. `camera` defaults to
+        the snapshot's first training view (the most representative
+        angle); falls back to the current camera_matrix.
+        `action` is one of "ok" | "occ_gate" | "baked_only" | "unbaked".
+        """
+        import warnings
+
+        if camera is None:
+            xf = getattr(self.dataset, "xforms", None)
+            camera = (np.asarray(xf[0], np.float32) if xf is not None
+                      and len(xf) else self.camera_matrix)
+        saved_cam = self.camera_matrix
+        self.camera_matrix = np.asarray(camera, np.float32)
+        saved_flash = getattr(self, "flash", False)
+        saved_overrides = dict(self.march_overrides)
+        sig, feat = self._baked_sigma, self._baked_feat
+        try:
+            def probe():
+                out = self.render(width, height, spp=1, linear=False)
+                return np.asarray(out[..., :3], np.float64)
+
+            def db(a, b):
+                mse = float(np.mean((a - b) ** 2))
+                return 99.0 if mse <= 0 else 10.0 * np.log10(1.0 / mse)
+
+            self.unbake()
+            self.flash = False
+            exact = probe()
+            self._baked_feat = feat
+            self._baked_sigma = sig
+            self.flash = saved_flash
+            p = db(probe(), exact)
+            if p >= threshold_db:
+                return p, "ok"
+            if saved_flash:
+                self.march_overrides = {**saved_overrides,
+                                        "vector_occ_gate": True}
+                p_gate = db(probe(), exact)
+                if p_gate >= threshold_db:
+                    warnings.warn(
+                        f"bake fidelity probe: flash bundle scored "
+                        f"{p:.1f} dB vs the exact render (< "
+                        f"{threshold_db:.0f} dB); re-enabled the "
+                        f"per-sample occupancy gate ({p_gate:.1f} dB) — "
+                        f"expect ~15% slower frames")
+                    saved_overrides = dict(self.march_overrides)
+                    return p_gate, "occ_gate"
+                self.march_overrides = saved_overrides
+                self.flash = saved_flash = False
+                p_baked = db(probe(), exact)
+                if p_baked >= threshold_db:
+                    warnings.warn(
+                        f"bake fidelity probe: flash scored {p:.1f} dB "
+                        f"vs the exact render; disabled flash (baked "
+                        f"sigma + per-sample network color: "
+                        f"{p_baked:.1f} dB)")
+                    return p_baked, "baked_only"
+                p = p_baked
+            warnings.warn(
+                f"bake fidelity probe: baked render scored {p:.1f} dB "
+                f"vs the exact render (< {threshold_db:.0f} dB — likely "
+                f"content the bake resolution cannot represent); "
+                f"unbaked, rendering exact")
+            self.unbake()
+            sig = feat = None
+            saved_flash = False
+            return p, "unbaked"
+        finally:
+            self.camera_matrix = saved_cam
+            self.flash = saved_flash
+            self.march_overrides = saved_overrides
+            self.reset_accumulation()
+
     def set_surface_buffers(self, surface_rgba, t_surface, width, height):
         """Install the mesh pass's per-pixel depth/color (the reference
         writes these into ray payloads, copyRaytracingBuffersToNerfRays,
