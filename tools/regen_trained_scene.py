@@ -16,5 +16,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench
 
-out = bench.bench_trained_scene(quick="--quick" in sys.argv)
+out, picked, snap = bench.trained_holdout_and_bundle()
+out["picked_bundle"] = picked[0]
 print(json.dumps(out, indent=1), flush=True)
