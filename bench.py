@@ -19,7 +19,11 @@ reports the headline leg's max/min spread):
   3. reference-compatible NGPConfig() (L=16, F=2, T=2^19 — the tcnn
      default a real instant-ngp snapshot carries, testbed.cu:57-101),
      unbaked AND bake()+flash.
-  4. training throughput: steps/sec of the native trainer
+  4. multi-cascade (aabb_scale=4) snapshot: baked-pyramid fast path
+     (bake_grids_cascades + deferred shade) with a vs-exact PSNR gate —
+     the reference renders any aabb_scale at full speed
+     (testbed.cu:1027-1118), so the fast path must cover it too.
+  5. training throughput: steps/sec of the native trainer
      (train_chunk-dispatched) + projected minutes for the reference
      train.py contract's 10k steps (volume/train.py:11-12).
 
@@ -50,12 +54,16 @@ import time
 import numpy as np
 
 W, H = 1280, 720
-# Flash-path bake: 512^3 sigma bricks render at the same fps as 256^3
-# (tools/profile_bakeres.py: 77.6 vs 77.4 ms) while halving the trained-
-# scene holdout gap (34.2 -> 38.1 dB, tools/psnr_trained_attrib.py); the
-# 16-wide feature grid stays at 256^3 (features vary smoothly; 512^3
-# would cost 4.3 GB).
-BAKE_RES, FEAT_RES = 512, 256
+# Flash-path bake: sigma brick resolution is fps-free (tools/
+# profile_bakeres.py: 512^3 = 256^3 rate) and drives the trained-scene
+# holdout gap; with the r4 log-space bake (exp after trilerp) the
+# holdout ladder measured 512: 38.35 dB / 640: 38.51 / 768: 38.57 vs
+# 38.81 exact (tools/psnr_trained_attrib.py) — 640^3 sigma (2.1 GB
+# bricks) + 384^3 features (1.8 GB bf16) buys 0.20 dB of margin under
+# the 0.5 dB budget gate. 512^3 features would cost 4.3 GB.
+BAKE_RES, FEAT_RES = 640, 384
+MC_BAKE_RES = 256     # per-cascade pyramid resolution for the
+                      # aabb_scale=4 leg (3 cascades; gated vs exact)
 BUDGET_DB = 0.5       # BASELINE.md: fast path within 0.5 dB of exact
 N_FRAMES = 24         # frames per timing leg (the tunnel's ~77 ms drain
                       # roundtrip amortizes over the leg: 8 frames left
@@ -123,6 +131,19 @@ def build_bench_snapshot(path, cfg=None):
     r = np.sqrt(((x - 0.5) / 0.22) ** 2 + ((y - 0.52) / 0.3) ** 2
                 + ((z - 0.5) / 0.25) ** 2)
     grid = (r < 1.0).astype(np.float32)[None] * 0.05
+    if cfg.max_cascade > 0:
+        # cascaded occupancy: the head in cascade 0 plus an off-cube
+        # blob in the top cascade (cascade c spans 0.5 +- 0.5*2^c), so
+        # the render marches real outer-cascade content
+        n_casc = cfg.max_cascade + 1
+        side = float(1 << cfg.max_cascade)
+        grid = np.concatenate(
+            [grid, np.zeros((n_casc - 1,) + grid.shape[1:], np.float32)])
+        px = (x - 0.5) * side + 0.5     # top-cascade local -> raw coords
+        py = (y - 0.5) * side + 0.5
+        pz = (z - 0.5) * side + 0.5
+        rb = np.sqrt((px - 0.5) ** 2 + (py - 0.5) ** 2 + (pz - 2.0) ** 2)
+        grid[-1][rb < 0.3] = 0.05
 
     from nerf_glasses_tpu.io import snapshot as snap_io
     from nerf_glasses_tpu.io.dataset import ImageMetadata, NerfDataset
@@ -134,9 +155,10 @@ def build_bench_snapshot(path, cfg=None):
     ds.metadata = [ImageMetadata(resolution=(800, 800),
                                  focal_length=(1111.0, 1111.0))]
     ds.paths = ["0.png"]
-    ds.render_aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+    half = 0.5 * cfg.aabb_scale
+    ds.render_aabb = BoundingBox([0.5 - half] * 3, [0.5 + half] * 3)
     ds.aabb_scale = cfg.aabb_scale
-    aabb = BoundingBox([0, 0, 0], [1, 1, 1])
+    aabb = ds.render_aabb
     snap_io.save_snapshot(path, cfg,
                           pack_params(params, cfg).astype(np.float32),
                           grid, ds, aabb, aabb, np.eye(3, dtype=np.float32))
@@ -400,6 +422,35 @@ def main():
             psnr(frame_ref_flash, frame_ref_unb), 2)
         nerf3.flash = False
 
+    # ----- multi-cascade (aabb_scale=4) snapshot: the baked-pyramid
+    # fast path must cover the full snapshot contract (the reference
+    # renders any aabb_scale <= 128 at full speed, testbed.cu:1027-1118)
+    renderer5 = None
+    mc = {}
+    if not quick:
+        from nerf_glasses_tpu.config import NGPConfig
+        snap_mc = os.path.join(CACHE, "bench_head_mc4_v1.msgpack")
+        if not os.path.exists(snap_mc):
+            build_bench_snapshot(snap_mc,
+                                 NGPConfig.native_fast(aabb_scale=4))
+        renderer5, nerf5 = make_renderer(snap_mc)
+        # march the full 4-cube so outer cascades are on the ray path
+        nerf5.render_aabb.min = np.array([-1.5] * 3, np.float32)
+        nerf5.render_aabb.max = np.array([2.5] * 3, np.float32)
+        cam5 = cam_snapshot(renderer5)
+        frame_mc_unb = fidelity_frame(renderer5, cam5)
+        nerf5.bake(MC_BAKE_RES)
+        nerf5.flash = True          # multicascade: baked pyramid +
+        mc_packed = nerf5._baked_sigma       # deferred shade bundle
+        frame_mc_fast = fidelity_frame(renderer5, cam5)
+        mc["psnr_multicascade_fast_vs_unbaked_db"] = round(
+            psnr(frame_mc_fast, frame_mc_unb), 2)
+        mc["multicascade_bake_res"] = MC_BAKE_RES
+
+        def set_mc_baked(on):
+            nerf5.flash = on
+            nerf5._baked_sigma = mc_packed if on else None
+
     # ----- interleaved timing rounds over ALL legs -----
     def set_flash(n):
         def f(on):
@@ -425,6 +476,9 @@ def main():
         legs.append(("ref_config_unbaked", renderer3, lambda on: None,
                      N_FRAMES_SLOW))
         legs.append(("ref_config_flash", renderer3, set_flash(nerf3),
+                     N_FRAMES))
+    if renderer5 is not None:
+        legs.append(("multicascade_baked", renderer5, set_mc_baked,
                      N_FRAMES))
 
     fps_rounds = {name: [] for name, _, _, _ in legs}
@@ -496,6 +550,9 @@ def main():
                 "trained_hybrid_timing_rounds": [
                     round(v, 3) for v in fps_rounds["trained_hybrid_fast"]]}
                if renderer4 is not None else {}),
+            **({"fps_multicascade_baked": round(
+                    fps["multicascade_baked"], 3), **mc}
+               if renderer5 is not None else {}),
             "psnr_blob_baked_vs_unbaked_db": round(psnr_bake, 2),
             "psnr_blob_flash_vs_unbaked_db": round(psnr_flash, 2),
             "psnr_blob_flash_sigcolor_vs_unbaked_db": round(psnr_fsig, 2),

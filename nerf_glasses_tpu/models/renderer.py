@@ -119,10 +119,12 @@ class NerfMeshRenderer:
                   verify_threshold_db: float = 30.0) -> Testbed:
         """loadNerf (nerf_mesh_renderer.cu:967-1000).
 
-        `bake=True` (extension; single-cascade snapshots only) bakes the
-        density + feature grids on load and enables the flash fast path
-        — one call from snapshot to the ~10x render path the bench
-        headlines, for any Instant-NGP snapshot with aabb_scale 1.
+        `bake=True` (extension) bakes the density (+ feature, single-
+        cascade) grids on load and enables the fast path — one call from
+        snapshot to the ~10x render path the bench headlines. Single-
+        cascade snapshots get the full flash bundle; aabb_scale > 1
+        snapshots get the baked-pyramid + deferred-shade path (the flash
+        vector machinery is cascade-0 only, Testbed._march_options).
         Because flash's speed bundle drops the per-sample occupancy gate,
         an arbitrary user scene gets a fidelity auto-probe at bake time
         (Testbed.verify_bake_fidelity): one low-res frame fast-vs-exact;

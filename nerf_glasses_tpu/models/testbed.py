@@ -370,11 +370,43 @@ class Testbed:
     def _march_options(self) -> raymarch.MarchOptions:
         kw = dict(config=self.config, cone_angle=self._cone_angle,
                   min_transmittance=self.nerf.render_min_transmittance)
+        if self.config.max_cascade > 0:
+            # Multi-cascade scenes advance on the per-cascade clearance
+            # pyramid (raymarch._dist_probe_mips) in EVERY path, exact
+            # included — not just for speed. The reference's init walk
+            # (advance_pos_nerf, testbed.cu:502-537) is an UNBOUNDED
+            # while loop, so every ray settles at its first occupied
+            # cell and rays settling inside mip0 get t_start there
+            # (:535-536), switching the march to fine (t - t_start)
+            # cone steps and mip-0 gating. A bounded per-voxel DDA init
+            # rarely settles within budget, leaving t_start = 0 and the
+            # march gating at coarse absolute-t mips — phantom opaque
+            # silhouettes one pooled-cell wide (measured: a grazing-ray
+            # ring at alpha 1 the reference renders empty). Clearance
+            # hops settle the same walk in a handful of iterations.
+            kw["dist_advance"] = True
         if getattr(self, "_baked_sigma", None) is not None:
             kw["use_baked_sigma"] = True
+            kw["baked_sigma_log"] = getattr(self, "_baked_sigma_log", False)
             if getattr(self, "deferred_shading", False):
                 kw["deferred_color"] = True
-            if getattr(self, "flash", False):
+            if getattr(self, "flash", False) and self.config.max_cascade > 0:
+                # multi-cascade flash: baked pyramid + deferred shade +
+                # vectorized rounds (per-ray round-constant cone dt).
+                # The voxel-splat coarse init and dist advance stay
+                # cascade-0 constructs — rays start at the aabb entry
+                # and the per-epoch advance crosses empty space on the
+                # per-mip DDA probe. vector_occ_gate stays ON (default):
+                # the per-sample mip gate is what confines sampling to
+                # the cascade the bake masked.
+                kw["deferred_color"] = True
+                kw["vector_rounds"] = True
+                kw["steps_per_round"] = 16
+                kw["chunk"] = 1 << 11
+                # clearance-scaled advance (one gather per iteration,
+                # hops bounded by the mip-safety clamps)
+                kw["dist_advance"] = True
+            elif getattr(self, "flash", False):
                 # flash mode: deferred shading + coarse-pass ray init +
                 # vectorized 16-sample rounds (rays start parked at the
                 # surface, so per-sample DDA skipping buys nothing).
@@ -423,6 +455,11 @@ class Testbed:
             # (raymarch._dist_probe, MarchOptions.dist_advance) — usable
             # by every single-cascade path, baked or not
             scene["dist"] = occ_ops.build_dist_grid(self.occ)
+        else:
+            # per-cascade clearance pyramid for the mip-safe distance
+            # probe (raymarch._dist_probe_mips)
+            scene["dist_mips"] = occ_ops.build_dist_grid_cascades(
+                self.occ, self.config.max_cascade)
         if getattr(self, "_baked_sigma", None) is not None:
             scene["sigma"] = self._baked_sigma
             if self._baked_feat is not None:
@@ -444,10 +481,18 @@ class Testbed:
         return scene
 
     def bake(self, resolution: int = 256, features: bool = True,
-             feat_resolution: int = None):
+             feat_resolution: int = None, sigma_log: bool = True):
         """Bake the density field to a dense grid for fast rendering
         (ops/bake.py). Opt-in; color still comes from the full network at
-        visible samples. Requires a single-cascade scene.
+        visible samples.
+
+        Multi-cascade scenes (aabb_scale > 1) bake a per-cascade sigma
+        pyramid (bake_grids_cascades: one resolution^3 grid per cascade,
+        each over its own 2^c cube) and render via the baked scan march
+        + deferred shade — the flash vector machinery stays cascade-0
+        (see _march_options). The reference renders every cascade
+        through the same kernels (testbed.cu:1027-1118); here every
+        cascade gets the same baked-sigma fast path.
 
         features=True additionally bakes the density MLP's 16-wide
         output (the color MLP's position input) so the flash deferred
@@ -461,19 +506,30 @@ class Testbed:
         a 512^3 bf16 feature table is 4.3 GB — enough to OOM a 16 GB
         chip next to params and frame buffers — for no measured
         fidelity gain."""
+        from nerf_glasses_tpu.ops.bake import (bake_grids,
+                                               bake_grids_cascades,
+                                               pack_sigma_bricks)
         if self.config.max_cascade != 0:
-            raise ValueError("baking currently supports aabb_scale == 1")
-        from nerf_glasses_tpu.ops.bake import bake_grids, pack_sigma_bricks
+            packed, _ = bake_grids_cascades(
+                self.params, self.config, resolution, occ=self.occ,
+                log_space=sigma_log, aabb=(self.aabb.min, self.aabb.max))
+            self._baked_feat = None
+            self._baked_sigma_log = sigma_log
+            self._baked_sigma = packed
+            self.reset_accumulation()
+            return
         if feat_resolution is None:
             feat_resolution = min(resolution, 256)
         same = feat_resolution == resolution
         grid, feat = bake_grids(self.params, self.config, resolution,
-                                occ=self.occ, features=features and same)
+                                occ=self.occ, features=features and same,
+                                log_space=sigma_log)
         if features and not same:
             _, feat = bake_grids(self.params, self.config, feat_resolution,
                                  occ=self.occ, features=True)
         # brick-packed layout: one 512B-row gather per trilinear sample
         self._baked_feat = feat
+        self._baked_sigma_log = sigma_log
         # the _baked_sigma setter bumps _scene_version, invalidating the
         # memoized scene (which carries both grids)
         self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
@@ -482,6 +538,7 @@ class Testbed:
     def unbake(self):
         self._baked_feat = None
         self._baked_sigma = None
+        self._baked_sigma_log = False
 
     def verify_bake_fidelity(self, width: int = 160, height: int = 160,
                              threshold_db: float = 30.0, camera=None,
@@ -520,6 +577,7 @@ class Testbed:
         saved_flash = getattr(self, "flash", False)
         saved_overrides = dict(self.march_overrides)
         sig, feat = self._baked_sigma, self._baked_feat
+        sig_log = getattr(self, "_baked_sigma_log", False)
         try:
             def probe():
                 out = self.render(width, height, spp=1, linear=False)
@@ -533,6 +591,10 @@ class Testbed:
             self.flash = False
             exact = probe()
             self._baked_feat = feat
+            # restore the log-space flag BEFORE the grid (unbake()
+            # cleared it; a raw log-space grid read as activated sigma
+            # renders garbage)
+            self._baked_sigma_log = sig_log
             self._baked_sigma = sig
             self.flash = saved_flash
             p = db(probe(), exact)

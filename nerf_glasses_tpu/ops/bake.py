@@ -32,7 +32,7 @@ from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           density_raw)
 
 
-def _occ_mask(occ, R: int) -> Optional[np.ndarray]:
+def _occ_mask(occ, R: int, level: int = 0) -> Optional[np.ndarray]:
     """(8, G, G, G) or (G, G, G) occupancy -> (R, R, R) bool mask of the
     1-voxel-dilated occupied region, nearest-neighbor resampled.
     The dilation keeps boundary trilinear corners alive."""
@@ -40,7 +40,7 @@ def _occ_mask(occ, R: int) -> Optional[np.ndarray]:
         return None
     o = np.asarray(occ)
     if o.ndim == 4:
-        o = o[0]
+        o = o[level]
     m = o > 0
     md = m.copy()
     for axis in range(3):
@@ -50,8 +50,17 @@ def _occ_mask(occ, R: int) -> Optional[np.ndarray]:
     return md[np.ix_(i, i, i)]
 
 
+LOG_SIGMA_PAD = -20.0   # raw-density fill for empty cells in a
+                        # log-space bake: exp(-20) ~ 2e-9 keeps the
+                        # "baked grid is ~zero in empty space" contract
+                        # the flash vector rounds rely on, while the
+                        # boundary ramp toward occupied raws (~[-5, 10])
+                        # stays well-conditioned for trilerp
+
+
 def bake_grids(params, config: NGPConfig, resolution: int = 256,
-               batch: int = 1 << 20, occ=None, features: bool = False):
+               batch: int = 1 << 20, occ=None, features: bool = False,
+               log_space: bool = False, mip: int = 0, aabb=None):
     """Evaluate the density network at cell centers of a resolution^3
     grid over the unit cube -> (sigma (R, R, R) float32 [z, y, x],
     feat ((R^3, 16) bfloat16 raw density-MLP outputs, or None)).
@@ -70,9 +79,33 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
     rounds) would otherwise composite it as fog; `feat` is only read at
     compositing-significant samples, which the sigma grid confines to
     occupied space. Cost: the sweep visits ~the occupied fraction of
-    cells (converged captures: ~10%) instead of all R^3."""
+    cells (converged captures: ~10%) instead of all R^3.
+
+    log_space=True stores RAW (pre-activation) density, with empty
+    cells at LOG_SIGMA_PAD; the sampler applies the activation AFTER
+    trilinear interpolation. For the exp activation this turns linear
+    interpolation of sigma into geometric interpolation — linear lerp
+    between an opaque cell (sigma e^6 ~ 400) and empty space puts a
+    half-density halo a full voxel wide around every silhouette, the
+    dominant remaining holdout error of the baked paths.
+
+    Multi-cascade scenes (aabb_scale > 1, testbed.cu:188-202): `mip`
+    selects the cascade — the grid covers the cube of side 2^mip
+    centered at 0.5 (same cube convention as occupancy.mip_from_pos),
+    masked by occupancy level `mip`, and `aabb` ((min, max) arrays)
+    supplies the network's training-aabb normalization (identity for
+    the scale-1 unit cube)."""
     R = resolution
-    up = _occ_mask(occ, R)
+    up = _occ_mask(occ, R, level=mip)
+    empty_fill = np.float32(LOG_SIGMA_PAD if log_space else 0.0)
+    side = float(1 << mip)
+
+    def net_pos(raw):
+        if aabb is None:
+            return raw
+        lo = np.asarray(aabb[0], np.float32)
+        hi = np.asarray(aabb[1], np.float32)
+        return (raw - lo) / (hi - lo)
 
     fn = jax.jit(lambda p, x: density_raw(p, x, config))
 
@@ -80,9 +113,13 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
         sig, feat = [], []
         for s in range(0, pos_sel.shape[0], batch):
             d_out = fn(params, jnp.asarray(pos_sel[s:s + batch]))
+            raw = d_out[:, 0]
+            if log_space:
+                # clamp so exp after interpolation cannot overflow f32
+                raw = jnp.minimum(raw, 30.0)
             sig.append(np.asarray(
-                apply_density_activation(d_out[:, 0],
-                                         config.density_activation),
+                raw if log_space else
+                apply_density_activation(raw, config.density_activation),
                 np.float32))
             if features:
                 feat.append(np.asarray(d_out, np.float32))
@@ -93,10 +130,11 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
         return sig, feat
 
     g = (np.arange(R, dtype=np.float32) + 0.5) / R
+    g = (g - 0.5) * side + 0.5            # cascade-local -> raw coords
     if up is None:
         zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
         pos = np.stack([xx, yy, zz], -1).reshape(-1, 3)
-        sig, feat = sweep(pos)
+        sig, feat = sweep(net_pos(pos))
         grid = jnp.asarray(sig.reshape(R, R, R))
         return grid, (jnp.asarray(feat, jnp.bfloat16) if features else None)
 
@@ -104,8 +142,8 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
     iz, rem = np.divmod(idx, R * R)
     iy, ix = np.divmod(rem, R)
     pos = np.stack([g[ix], g[iy], g[iz]], -1).astype(np.float32)
-    sig, feat = sweep(pos)
-    full = np.zeros(R * R * R, np.float32)
+    sig, feat = sweep(net_pos(pos))
+    full = np.full(R * R * R, empty_fill, np.float32)
     full[idx] = sig
     grid = jnp.asarray(full.reshape(R, R, R))
     if not features:
@@ -113,6 +151,68 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
     feat_full = np.zeros((R * R * R, 16), np.float32)
     feat_full[idx] = feat
     return grid, jnp.asarray(feat_full, jnp.bfloat16)
+
+
+def bake_grids_cascades(params, config: NGPConfig, resolution: int = 256,
+                        occ=None, log_space: bool = True, aabb=None):
+    """Bake a per-cascade sigma pyramid for aabb_scale > 1 scenes ->
+    (packed (n_casc * B^3, 128) brick table, n_casc).
+
+    Cascade c's R^3 grid covers the cube of side 2^c centered at 0.5 —
+    exactly the cube occupancy mip c covers (testbed.cu:188-202,
+    occupancy.mip_from_pos), so the march's per-sample mip selection
+    (mip_from_dt) picks the same cascade for the sigma lookup as it does
+    for the occupancy gate. Each cascade is packed with
+    pack_sigma_bricks and the tables are row-concatenated; sampling goes
+    through sample_sigma_bricks_mip_soa with row offset mip * B^3."""
+    n_casc = config.max_cascade + 1
+    packed = []
+    for c in range(n_casc):
+        grid, _ = bake_grids(params, config, resolution, occ=occ,
+                             features=False, log_space=log_space,
+                             mip=c, aabb=aabb)
+        packed.append(pack_sigma_bricks(np.asarray(grid)))
+    return jnp.concatenate(packed, axis=0), n_casc
+
+
+def sample_sigma_bricks_mip_soa(bricks: jnp.ndarray, n_casc: int,
+                                px, py, pz, mip) -> jnp.ndarray:
+    """Cascade-aware trilinear lookup from a bake_grids_cascades table:
+    px/py/pz (...,) in RAW marching coords, mip (...,) int32 -> sigma.
+
+    Maps each sample into its cascade's local [0,1] cube
+    (q = (p - 0.5) * 2^-mip + 0.5, the occupied_at convention) and
+    gathers from that cascade's brick rows. Same one-wide-row-gather
+    cost as the single-cascade sampler."""
+    B = round((bricks.shape[0] // n_casc) ** (1.0 / 3.0))
+    R = 4 * B
+    shp = px.shape
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32)).reshape(-1)
+
+    def prep(p):
+        q = (p.reshape(-1) - 0.5) * mip_scale + 0.5
+        q = jnp.clip(q, 0.0, 1.0) * R - 0.5
+        i0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, R - 2)
+        return i0, jnp.clip(q - i0, 0.0, 1.0)
+
+    ix, fx = prep(px)
+    iy, fy = prep(py)
+    iz, fz = prep(pz)
+    row = ((iz >> 2) * B + (iy >> 2)) * B + (ix >> 2)
+    row = row + mip.reshape(-1).astype(jnp.int32) * (B * B * B)
+    rows = jnp.take(bricks, row, axis=0)               # (N, 128)
+
+    j = jnp.arange(5, dtype=jnp.int32)[None]
+
+    def axis_w(i0, f):
+        l = (i0 & 3)[:, None]
+        fa = f[:, None]
+        return jnp.where(j == l, 1.0 - fa, jnp.where(j == l + 1, fa, 0.0))
+
+    wx, wy, wz = axis_w(ix, fx), axis_w(iy, fy), axis_w(iz, fz)
+    w = (wz[:, :, None, None] * wy[:, None, :, None]
+         * wx[:, None, None, :]).reshape(-1, 125)
+    return jnp.sum(rows[:, :125] * w, axis=1).reshape(shp)
 
 
 def bake_density_grid(params, config: NGPConfig, resolution: int = 256,

@@ -279,8 +279,9 @@ def _dilate_chebyshev(g: jnp.ndarray) -> jnp.ndarray:
     return g
 
 
-def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
-    """Chebyshev distance (voxels) to the nearest occupied cascade-0
+def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31,
+                    level: int = 0) -> jnp.ndarray:
+    """Chebyshev distance (voxels) to the nearest occupied `level`
     voxel -> (G,G,G) uint8; 0 = occupied, values capped at max_dist.
 
     A marcher holding this grid advances per iteration to the EXIT of
@@ -298,7 +299,7 @@ def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
     over max_dist rounds yields the capped distance. Runs as one fused
     scan at bake/scene-build time.
     """
-    g = jnp.asarray(occ[0] > 0)                      # (G, G, G) [z, y, x]
+    g = jnp.asarray(occ[level] > 0)                  # (G, G, G) [z, y, x]
 
     def step(carry, _):
         cur, dist = carry
@@ -308,6 +309,22 @@ def build_dist_grid(occ: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
     dist0 = (~g).astype(jnp.uint8)                   # k = 0 term
     (_, dist), _ = jax.lax.scan(step, (g, dist0), None, length=max_dist - 1)
     return dist
+
+
+def build_dist_grid_cascades(occ: jnp.ndarray, max_cascade: int,
+                             max_dist: int = 31) -> jnp.ndarray:
+    """Per-cascade Chebyshev clearance pyramid -> (n_casc, G, G, G)
+    uint8, each level in its own cascade-local voxel units.
+
+    Soundness of hopping a cascade-c empty ball: build_occupancy pools
+    each finer level's occupancy into the inner half of the next level
+    (the inner half IS the finer cascade's cube), so cascade-c emptiness
+    implies no finer-cascade content inside the ball. Coarser cascades
+    can still be occupied where c is empty — the marcher must clamp the
+    hop so its governing mip cannot INCREASE mid-hop (see
+    raymarch._dist_probe_mips)."""
+    return jnp.stack([build_dist_grid(occ, max_dist, level=c)
+                      for c in range(max_cascade + 1)])
 
 
 def dist_at_soa(dist: jnp.ndarray, px, py, pz) -> jnp.ndarray:

@@ -51,7 +51,9 @@ import numpy as np
 from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
-from nerf_glasses_tpu.ops.bake import sample_feat_grid, sample_sigma_bricks
+from nerf_glasses_tpu.ops.bake import (sample_feat_grid,
+                                       sample_sigma_bricks,
+                                       sample_sigma_bricks_mip_soa)
 from nerf_glasses_tpu.ops.compaction import stable_partition_ids
 from nerf_glasses_tpu.ops.network import (apply_density_activation,
                                           apply_network,
@@ -88,13 +90,21 @@ class MarchOptions:
     # compositing weight exceeds sig_threshold (compacted in
     # color_subchunk batches). Requires scene["sigma"].
     use_baked_sigma: bool = False
+    # scene["sigma"] stores RAW density (bake_grids log_space=True):
+    # apply the density activation AFTER trilinear interpolation —
+    # geometric instead of arithmetic interpolation for the exp
+    # activation, which removes the half-density silhouette halo linear
+    # lerp puts around every opaque/empty boundary
+    baked_sigma_log: bool = False
     sig_threshold: float = 1e-3
     color_subchunk: int = 1 << 12
-    # Vectorized rounds: with cone_angle == 0 the step size is constant,
-    # so a round's K sample positions are t + i*dt — computable in one
-    # vectorized shot (single batched occupancy probe, cumprod
-    # compositing) instead of K sequential gen/composite scan steps of
-    # ~25 small ops each. The sequential path spends the frame budget on
+    # Vectorized rounds: a round's K sample positions are t + i*dt —
+    # computable in one vectorized shot (single batched occupancy
+    # probe, cumprod compositing) instead of K sequential gen/composite
+    # scan steps of ~25 small ops each. With cone_angle == 0 dt is a
+    # global constant; with cone stepping dt is per-ray, constant
+    # within the round (see _march_round — slight oversampling,
+    # fidelity-conservative). The sequential path spends the frame budget on
     # Measured SLOWER end-to-end on v5e (the sequential path's cost is
     # the occupancy gathers, which the vectorized path repeats per
     # sample while covering less distance per round); retained as an
@@ -347,6 +357,117 @@ def _dist_probe(scene, pos, t, d):
     return occ, adv
 
 
+def _dist_probe_mips(scene, pos, t, d, dt, opts: MarchOptions):
+    """Cascade-aware Chebyshev clearance probe -> (occupied, t_advanced).
+
+    scene["dist_mips"] (occupancy.build_dist_grid_cascades) holds, per
+    cascade, the distance in cascade-local voxels to the nearest
+    occupied voxel of that cascade. ONE uint8 gather at the sample's
+    governing mip yields both the occupancy bit (k == 0, identical to
+    occupied_at) and a hop to the exit of the guaranteed-empty
+    (2k-1)^3 ball.
+
+    Soundness: cascade-c emptiness covers all finer cascades (pooling,
+    build_dist_grid_cascades), but NOT coarser ones, so the hop is
+    clamped so the governing mip cannot increase mid-hop:
+      - delta_cube: distance to exiting the side-2^mip cube
+        (mip_from_pos can only grow past that boundary);
+      - delta_dtmip: distance until cone-stepping dt crosses its next
+        power of two (mip_from_dt grows there; infinite when dt sits at
+        the MAX_CONE_STEPSIZE clamp or cone_angle == 0).
+    Samples remain occupancy-gated at their own positions, so the
+    at-least-one-dt progress step may overshoot the clamps exactly like
+    the DDA probe's quantized stepping does."""
+    G = C.NERF_GRIDSIZE
+    occ_pyr = scene["dist_mips"]
+    mip = occ_ops.mip_from_dt(dt, pos, opts.config.max_cascade)
+    mip = jnp.maximum(mip, opts.min_mip)
+    s = jnp.exp2(mip.astype(jnp.float32))
+    q = (pos - 0.5) / s[..., None] + 0.5            # cascade-local [0,1]
+
+    cell = jnp.clip(jnp.trunc(q * G), 0.0, G - 1.0)
+    ci = cell.astype(jnp.int32)
+    flat = (((mip * G + ci[..., 2]) * G + ci[..., 1]) * G + ci[..., 0])
+    k = jnp.take(occ_pyr.reshape(-1), flat, mode="clip"
+                 ).astype(jnp.float32)
+    occ = k == 0.0
+
+    vox = jnp.float32(1.0 / G)
+    kk = k[..., None]
+    bound = jnp.where(d > 0.0, (cell + kk) * vox, (cell - (kk - 1.0)) * vox)
+    dl = d / s[..., None]                            # local-units direction
+    dir_zero = d == 0.0
+    tt = jnp.where(dir_zero, 1e9,
+                   (bound - q) / jnp.where(dir_zero, 1.0, dl))
+    delta_ball = jnp.maximum(jnp.min(tt, axis=-1), 0.0)
+
+    # clamp 1: exit of the governing side-2^mip cube (centered 0.5)
+    cb = jnp.where(d > 0.0, 0.5 + 0.5 * s[..., None],
+                   0.5 - 0.5 * s[..., None])
+    tc = jnp.where(dir_zero, 1e9,
+                   (cb - pos) / jnp.where(dir_zero, 1.0, d))
+    delta_cube = jnp.maximum(jnp.min(tc, axis=-1), 0.0) + vox
+
+    # clamp 2: next dt-mip increment of the cone ladder
+    if opts.cone_angle > 0.0:
+        dtg = dt * (2 * G)
+        _, e = jnp.frexp(dtg)
+        tau_next = jnp.exp2(jnp.maximum(e, 0).astype(jnp.float32)) \
+            / (2 * G * opts.cone_angle)
+        tau = dt / opts.cone_angle      # == t - t_start while unclamped
+        delta_dtmip = jnp.where(dt >= C.MAX_CONE_STEPSIZE - 1e-9,
+                                jnp.float32(1e9),
+                                jnp.maximum(tau_next - tau, 0.0) + dt)
+    else:
+        delta_dtmip = jnp.float32(1e9)
+
+    delta = jnp.minimum(jnp.minimum(delta_ball, delta_cube), delta_dtmip)
+    adv = _ladder_jump(t, t + jnp.maximum(delta, 0.0), opts.cone_angle)
+    return occ, adv
+
+
+def _ladder_jump(t, target, cone_angle: float):
+    """Smallest point >= target on the stepping ladder
+    t_{i+1} = t_i + calc_dt(t_i) continued from t (>= one step).
+
+    The exact march walks this ladder through empty space one
+    (bounded-loop) voxel hop at a time (occupancy.advance_to_next_voxel)
+    — landing a clearance hop ON the ladder keeps the fast path's
+    sample positions aligned with the exact path's, so a fidelity gate
+    measures density-model error, not quadrature phase shifts. Closed
+    form per regime: uniform MIN_CONE_STEPSIZE below t1 = MIN/cone,
+    geometric x(1+cone) between t1 and t2 = MAX/cone, uniform MAX
+    above. (fp32 pow drifts ~1e-6 relative vs iterated addition —
+    sub-voxel, absorbed by the per-sample occupancy gate.)"""
+    dmin = jnp.float32(C.MIN_CONE_STEPSIZE)
+    if cone_angle == 0.0:
+        n = jnp.maximum(jnp.ceil((target - t) / dmin), 1.0)
+        return t + n * dmin
+    dmax = jnp.float32(C.MAX_CONE_STEPSIZE)
+    t1 = dmin / cone_angle
+    t2 = dmax / cone_angle
+    lg = jnp.float32(np.log1p(cone_angle))
+
+    # regime A (t < t1): uniform dmin up to min(target, first point >= t1)
+    tA_end = jnp.minimum(target, t1 + dmin)
+    nA = jnp.ceil(jnp.maximum(tA_end - t, 0.0) / dmin)
+    tA = t + nA * dmin
+    out = jnp.where(t < t1, tA, t)
+    # regime B (t1 <= out < t2, target beyond): geometric x(1+cone)
+    need_b = (out < target) & (out >= t1) & (out < t2)
+    ratio = jnp.maximum(jnp.minimum(target, t2 * (1.0 + cone_angle))
+                        / jnp.maximum(out, 1e-30), 1.0)
+    nB = jnp.ceil(jnp.log(ratio) / lg)
+    tB = out * jnp.exp(nB * lg)
+    out = jnp.where(need_b, tB, out)
+    # regime C (out >= t2, target beyond): uniform dmax
+    need_c = (out < target) & (out >= t2)
+    nC = jnp.ceil((target - out) / dmax)
+    out = jnp.where(need_c, out + nC * dmax, out)
+    # guarantee at least one step
+    return jnp.maximum(out, t + occ_ops.calc_dt(t, cone_angle))
+
+
 def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
     """One-gather DDA probe -> (occupied, t_advanced).
 
@@ -361,6 +482,9 @@ def _skip_probe(scene, pos, t, d, idir, dt, opts: MarchOptions):
             and opts.config.max_cascade == 0 and opts.min_mip == 0
             and "dist" in scene):
         return _dist_probe(scene, pos, t, d)
+    if (opts.dist_advance and opts.config.max_cascade > 0
+            and "dist_mips" in scene):
+        return _dist_probe_mips(scene, pos, t, d, dt, opts)
     if opts.config.max_cascade == 0 and opts.min_mip == 0 and "skip" in scene:
         lv = occ_ops.skip_level_at(scene["skip"], pos)
         occ = lv == 255
@@ -681,31 +805,44 @@ def _march_round(st, params, scene, opts: MarchOptions):
         return (t_out, gen_alive, surf_a), (sample, exited, surf_stopped)
 
     t_round_start = st["t"]
-    if opts.vector_rounds and opts.cone_angle == 0.0:
-        # constant-dt fast path: all K sample positions in one shot
-        dt_c = occ_ops.calc_dt(jnp.zeros(()), 0.0)
-        t_i = st["t"][None] + dt_c * jnp.arange(K, dtype=jnp.float32)[:, None]
+    if opts.vector_rounds:
+        # vectorized rounds: all K sample positions in one shot. With
+        # cone_angle == 0 the step is a global constant; with cone
+        # stepping (multi-cascade scenes) the round uses a per-RAY
+        # constant dt from the round-start t — exponential stepping
+        # quantized to the round. Within a round the exact per-sample
+        # dt would grow by <= K*cone_angle (~6% at K=16, cone 1/256),
+        # so the quantization slightly OVERsamples (fidelity-
+        # conservative); compositing uses the dt actually stepped, so
+        # the quadrature stays consistent.
+        if opts.cone_angle == 0.0:
+            dt_r = jnp.full((n,), occ_ops.calc_dt(jnp.zeros(()), 0.0))
+        else:
+            dt_r = occ_ops.calc_dt(st["t"] - t_start, opts.cone_angle)
+        t_i = st["t"][None] + dt_r[None] * jnp.arange(
+            K, dtype=jnp.float32)[:, None]
         pos_k = o[None] + d[None] * t_i[..., None]               # (K, n, 3)
         surf_block = (has_surface[None] & (t_i > t_surface[None])
                       & (st["surf_a"][None] >= 1.0))
         inside = t_i <= _ray_exit_t(o, d, scene)[None]
+        dt_k = jnp.broadcast_to(dt_r[None], (K, n))
         if opts.use_baked_sigma and not opts.vector_occ_gate:
             # the baked grid is occupancy-masked and ~zero in empty
             # space — skip the per-sample occupancy gather entirely
             occ_k = True
         else:
             occ_k, _ = _occupied(scene, pos_k.reshape(-1, 3),
-                                 jnp.full((K * n,), dt_c), opts)
+                                 dt_k.reshape(-1), opts)
             occ_k = occ_k.reshape(K, n)
         samples = {"pos": pos_k,
-                   "dt": jnp.full((K, n), dt_c),
+                   "dt": dt_k,
                    "valid": inside & occ_k & ~surf_block,
                    "t_sample": t_i}
         surf_stopped = surf_block.any(axis=0) & st["alive"]
         exited = (~inside).any(axis=0) & st["alive"] & ~surf_stopped
         t_end = jnp.where(st["alive"],
                           jnp.where(surf_stopped, t_surface,
-                                    st["t"] + K * dt_c), st["t"])
+                                    st["t"] + K * dt_r), st["t"])
     else:
         (t_end, _, _), (samples, exited_k, surfstop_k) = jax.lax.scan(
             gen_step, (st["t"], st["alive"], st["surf_a"]), None, length=K)
@@ -744,7 +881,18 @@ def _march_round(st, params, scene, opts: MarchOptions):
     comp_alive = comp_alive & ~sat
 
     if opts.use_baked_sigma:
-        sigma = sample_sigma_bricks(scene["sigma"], pos01)     # (K, n)
+        if cfg.max_cascade > 0:
+            # cascade pyramid (bake_grids_cascades): per-sample mip
+            # selection mirrors the occupancy gate's (testbed.cu:188-202)
+            mip_k = occ_ops.mip_from_dt(samples["dt"], pos, cfg.max_cascade)
+            sigma = sample_sigma_bricks_mip_soa(
+                scene["sigma"], cfg.max_cascade + 1,
+                pos[..., 0], pos[..., 1], pos[..., 2], mip_k)
+        else:
+            sigma = sample_sigma_bricks(scene["sigma"], pos01)  # (K, n)
+        if opts.baked_sigma_log:
+            sigma = apply_density_activation(
+                sigma, opts.config.density_activation)
         alpha_k = jnp.where(valid, 1.0 - jnp.exp(-sigma * samples["dt"]),
                             0.0)
         # prospective weights: alpha * current T * exclusive transmittance

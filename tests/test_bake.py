@@ -200,12 +200,15 @@ def test_load_nerf_bake_probe_fallback(tmp_path):
     write_test_snapshot(snap, density_grid=slab,
                         params=opaque_params(sigma_raw=6.0))
 
-    # default 30 dB threshold: flash (11 dB here) must be caught and
-    # dropped; the baked sigma path (~31 dB) survives
+    # default 30 dB threshold: flash (coarse-init phantoms) must be
+    # caught and dropped; the baked sigma path survives at 64^3 (the
+    # log-space bake under-resolves the slab at 16^3 — geometric
+    # interpolation erodes thin structures where linear fattened them —
+    # and the ladder correctly unbakes entirely there)
     r = nmr.NerfMeshRenderer(32, 24)
     with pytest.warns(UserWarning, match="bake fidelity probe"):
-        nerf = r.load_nerf(str(snap), bake=True, bake_resolution=16,
-                           feat_resolution=16)
+        nerf = r.load_nerf(str(snap), bake=True, bake_resolution=64,
+                           feat_resolution=64)
     assert not nerf.flash             # escalation took corrective action
     assert nerf._baked_sigma is not None
     r.frame()

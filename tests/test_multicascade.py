@@ -129,3 +129,76 @@ def test_mip1_region_empty_is_skipped(tb4):
     tb4.camera_matrix = cam
     img = np.asarray(tb4.render_frame_buffers(32, 32)[0])
     assert img[..., 3].max() == 0.0
+
+
+def test_mip_brick_sampler_matches_dense_trilinear():
+    """sample_sigma_bricks_mip_soa == per-cascade dense trilinear lookup
+    in cascade-local coords (the contract _march_round's multicascade
+    baked branch relies on)."""
+    import jax.numpy as jnp
+
+    from nerf_glasses_tpu.ops.bake import (pack_sigma_bricks,
+                                           sample_baked_sigma,
+                                           sample_sigma_bricks_mip_soa)
+
+    rng = np.random.default_rng(5)
+    R, n_casc = 16, 3
+    grids = [rng.uniform(0, 10, (R, R, R)).astype(np.float32)
+             for _ in range(n_casc)]
+    packed = jnp.concatenate([pack_sigma_bricks(g) for g in grids], axis=0)
+
+    # raw positions inside each cascade's cube (side 2^c around 0.5)
+    pos = rng.uniform(0.05, 0.95, (256, 3)).astype(np.float32)
+    mip = rng.integers(0, n_casc, 256).astype(np.int32)
+    raw = (pos - 0.5) * (2.0 ** mip[:, None]) + 0.5
+
+    got = np.asarray(sample_sigma_bricks_mip_soa(
+        packed, n_casc, jnp.asarray(raw[:, 0]), jnp.asarray(raw[:, 1]),
+        jnp.asarray(raw[:, 2]), jnp.asarray(mip)))
+    for c in range(n_casc):
+        sel = mip == c
+        want = np.asarray(sample_baked_sigma(jnp.asarray(grids[c]),
+                                             jnp.asarray(pos[sel])))
+        np.testing.assert_allclose(got[sel], want, rtol=1e-4, atol=1e-4)
+
+
+def test_baked_pyramid_render_matches_exact(tb4):
+    """bake() on an aabb_scale=4 scene -> baked pyramid + deferred shade
+    renders both the cascade-0 sphere and the cascade-2 blob to within a
+    PSNR bound of the exact march (VERDICT r3 #3: the fast path must
+    cover the full snapshot contract, testbed.cu:1027-1118)."""
+    cams = []
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, 0] = [0.4, 0, 0]
+    cam[:, 1] = [0, -0.4, 0]
+    cam[:, 2] = [0, 0, 1]
+    cam[:, 3] = [0.0, 0.0, -1.6]        # cascade-0 sphere view
+    cams.append(cam)
+    cam = np.zeros((3, 4), np.float32)
+    cam[:, 0] = [0.4, 0, 0]
+    cam[:, 1] = [0, -0.4, 0]
+    cam[:, 2] = [0, 0, -1]
+    cam[:, 3] = [0.0, 0.0, 3.0]         # cascade-2 blob view
+    cams.append(cam)
+
+    def render_all():
+        out = []
+        for c in cams:
+            tb4.camera_matrix = c
+            out.append(np.asarray(tb4.render_frame_buffers(48, 48)[0]))
+        return out
+
+    exact = render_all()
+    try:
+        tb4.bake(128)
+        assert tb4._baked_sigma is not None
+        tb4.flash = True                # multicascade: deferred, no flash
+        baked = render_all()
+    finally:
+        tb4.flash = False
+        tb4.unbake()
+    for e, b in zip(exact, baked):
+        assert e[..., 3].max() > 0.9 and b[..., 3].max() > 0.9
+        mse = float(np.mean((e - b) ** 2))
+        p = 99.0 if mse <= 0 else 10.0 * np.log10(1.0 / mse)
+        assert p > 30.0, p

@@ -50,8 +50,9 @@ def main():
     print(f"unbaked: vs_gt={p_unb:.2f}", flush=True)
 
     def probe(label, bake_res=256, flash=True, deferred=None,
-              features=True, feat_res=None, **ov):
-        tb.bake(bake_res, features=features, feat_resolution=feat_res)
+              features=True, feat_res=None, sigma_log=True, **ov):
+        tb.bake(bake_res, features=features, feat_resolution=feat_res,
+                sigma_log=sigma_log)
         tb.flash = flash
         if deferred is not None:
             tb.deferred_shading = deferred
@@ -91,6 +92,19 @@ def main():
                                       feat_color=True),
         "feat384": lambda: probe("flash512+feat384", bake_res=512,
                                  feat_res=384),
+        "f768feat384": lambda: probe("flash768+feat384", bake_res=768,
+                                     feat_res=384),
+        "f640feat384": lambda: probe("flash640+feat384", bake_res=640,
+                                     feat_res=384),
+        # linear vs log-space sigma bake A/B (exp before vs after trilerp)
+        "lin512": lambda: probe("flash512 linear-sigma", bake_res=512,
+                                sigma_log=False),
+        "log512": lambda: probe("flash512 log-sigma", bake_res=512,
+                                sigma_log=True),
+        "log256": lambda: probe("flash256 log-sigma", sigma_log=True),
+        "logbaked512": lambda: probe("baked512 log-sigma sigcolor",
+                                     bake_res=512, flash=False,
+                                     sigma_log=True),
     }
     names = [a for a in sys.argv[1:] if a in probes] or list(probes)
     for nm in names:
