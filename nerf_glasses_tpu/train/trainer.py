@@ -135,6 +135,23 @@ class TrainOptions:
     # with valid depth). -1 = auto: 1.0 when the dataset carries depth
     # images, else off. Depth targets are in NGP units.
     depth_supervision_lambda: float = -1.0
+    # Transmittance-prefix sample compaction: run the full network (and
+    # its hash-table gradient scatter, the dominant step cost) only on
+    # samples whose exclusive transmittance exceeds compact_T_eps.
+    # Transmittance is ESTIMATED from the cached density grid (the EMA
+    # field the occupancy bitfield is thresholded from) at one gather
+    # per sample — no network. Since T is monotone along the ray the
+    # kept set is a per-ray PREFIX: empty-space samples in front keep
+    # their carving gradients; only the ~zero-weight suffix behind the
+    # surface drops (the same early-out the render composite applies at
+    # rgba.w > 1 - min_transmittance, testbed.cu:880; upstream's
+    # training loss kernel breaks at the same threshold). The compacted
+    # batch is a static bucket of compact_keep_fraction * S * B sample
+    # slots (rounded up to 2048); an overflowing step drops its deepest
+    # samples. 0 = off. The Trainer disables compaction during occupancy
+    # warmup (dense grid -> everything kept -> certain overflow).
+    compact_keep_fraction: float = 0.0
+    compact_T_eps: float = 1e-5
 
     @property
     def cdtype(self):
@@ -456,11 +473,59 @@ def march_training_samples(occ, o, d, rng, opts: TrainOptions,
     return {"t": t_s, "dt": jnp.where(valid, dt_out, 0.0), "valid": valid}
 
 
+def compact_bucket(n_samples: int, fraction: float) -> int:
+    """Static compacted-batch size: fraction of the dense sample count,
+    rounded up to 2048 (MXU batch granularity), capped at dense."""
+    b = int(np.ceil(n_samples * fraction / 2048.0)) * 2048
+    return min(max(b, 2048), n_samples)
+
+
+def compact_sample_sel(state, data, img, px, py, samples,
+                       opts: TrainOptions):
+    """Transmittance-prefix keep mask + compaction ids (non-diff).
+
+    -> (sel (BUCKET,) int32 flat sample ids, keep (S, B) bool). See
+    TrainOptions.compact_keep_fraction. Alpha for the transmittance
+    estimate comes from the cached density grid: state["density_grid"]
+    stores optical thickness (density * MIN_CONE_STEPSIZE, the
+    update_density_grid convention), gathered at each sample's
+    governing mip exactly like occupancy.occupied_at."""
+    from nerf_glasses_tpu.ops.compaction import stable_partition_ids
+
+    S, B = samples["dt"].shape
+    G = C.NERF_GRIDSIZE
+    o0, d0 = _gen_rays(data, img, px, py,
+                       jax.lax.stop_gradient(state["aux"]),
+                       opts.apply_lens_distortion)
+    pos = o0[None] + d0[None] * samples["t"][..., None]      # (S, B, 3)
+    mip = occ_ops.mip_from_dt(samples["dt"], pos, opts.config.max_cascade)
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    q = (pos - 0.5) * mip_scale[..., None] + 0.5
+    ci = jnp.clip(jnp.trunc(q * G).astype(jnp.int32), 0, G - 1)
+    flat = (((mip * G + ci[..., 2]) * G + ci[..., 1]) * G + ci[..., 0])
+    gv = jnp.take(state["density_grid"].reshape(-1), flat, mode="clip")
+    sigma = jnp.maximum(gv, 0.0) * (1.0 / C.MIN_CONE_STEPSIZE)
+    alpha = jnp.where(samples["valid"],
+                      1.0 - jnp.exp(-sigma * samples["dt"]), 0.0)
+    T_ex = jnp.concatenate(
+        [jnp.ones((1, B)), jnp.cumprod(1.0 - alpha, axis=0)[:-1]], axis=0)
+    keep = samples["valid"] & (T_ex > opts.compact_T_eps)
+    perm, _ = stable_partition_ids(keep.reshape(-1))
+    bucket = compact_bucket(S * B, opts.compact_keep_fraction)
+    return perm[:bucket], keep
+
+
 def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
-                 aabb_min, aabb_max, extra=None, exposure_scale=None):
+                 aabb_min, aabb_max, extra=None, exposure_scale=None,
+                 sel=None, keep=None):
     """Differentiable: network eval + composite -> (B, 3) rgb vs bg.
     Positions are recomputed from (o, d, t) so gradients reach the
-    trainable per-image camera offsets when enabled."""
+    trainable per-image camera offsets when enabled.
+
+    sel/keep (compact_sample_sel): evaluate the network only at the
+    `sel` flat sample ids and scatter the outputs back dense; samples
+    outside sel (or outside keep — sel's tail may pad with dead ids)
+    composite with zero alpha."""
     cfg = opts.config
     S, B = samples["dt"].shape
     extent = aabb_max - aabb_min
@@ -472,14 +537,27 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
     if extra is not None:
         extra = jnp.broadcast_to(extra[None], (S,) + extra.shape
                                  ).reshape(S * B, -1)
-    rgb_raw, sigma_raw = apply_network(
-        params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-        compute_dtype=opts.cdtype, extra=extra)
+    valid = samples["valid"]
+    if sel is not None:
+        rgb_c, sigma_c = apply_network(
+            params, pos01.reshape(-1, 3)[sel], dir01_k.reshape(-1, 3)[sel],
+            cfg, compute_dtype=opts.cdtype,
+            extra=None if extra is None else extra[sel])
+        n = S * B
+        sigma_raw = jnp.zeros((n,), sigma_c.dtype).at[sel].set(sigma_c)
+        rgb_raw = jnp.zeros((n, 3), rgb_c.dtype).at[sel].set(rgb_c)
+        evaluated = jnp.zeros((n,), bool).at[sel].set(
+            keep.reshape(-1)[sel])
+        valid = valid & evaluated.reshape(S, B)
+    else:
+        rgb_raw, sigma_raw = apply_network(
+            params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
+            compute_dtype=opts.cdtype, extra=extra)
     rgb = apply_rgb_activation(rgb_raw.reshape(S, B, 3), cfg.rgb_activation)
     sigma = apply_density_activation(sigma_raw.reshape(S, B),
                                      cfg.density_activation)
     alpha = 1.0 - jnp.exp(-sigma * samples["dt"])
-    alpha = jnp.where(samples["valid"], alpha, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
 
     # exclusive cumulative transmittance over samples
     one_m = 1.0 - alpha
@@ -619,6 +697,11 @@ def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
                     opts: TrainOptions):
     """-> ((loss, per_ray_err), (grads, aux_grads)); per_ray_err is the
     channel-mean squared residual feeding the error map."""
+    sel = keep = None
+    if opts.compact_keep_fraction > 0.0:
+        sel, keep = compact_sample_sel(state, data, img, px, py,
+                                       samples, opts)
+
     def loss_of(tv):
         params, aux = tv
         o, d = _gen_rays(data, img, px, py, aux, opts.apply_lens_distortion)
@@ -634,7 +717,8 @@ def _loss_and_grads(state, data, img, px, py, target, samples, bg_rand,
                      if "exposure" in aux else None)
         pred, _, pdepth = forward_rays(params, samples, o, d, bg, opts,
                                        state["aabb_min"], state["aabb_max"],
-                                       extra=extra, exposure_scale=exp_scale)
+                                       extra=extra, exposure_scale=exp_scale,
+                                       sel=sel, keep=keep)
         diff = pred - target_rgb
         per_ray_err = jax.lax.stop_gradient(jnp.mean(diff * diff, axis=-1))
         loss = _loss_fn(pred, target_rgb, opts)
@@ -798,6 +882,16 @@ class Trainer:
     # loss-graph buffer parity (testbed.cuh:561)
     loss_history_capacity: int = 256
 
+    def _chunk_opts(self, step: int) -> TrainOptions:
+        """Options for the chunk starting at `step`: sample compaction
+        is forced off during occupancy warmup (grid dense -> every
+        sample kept -> the static bucket would overflow and drop real
+        samples). Two compiled variants total."""
+        o = self.opts
+        if o.compact_keep_fraction > 0.0 and step < self.occ_warmup_steps:
+            return dataclasses.replace(o, compact_keep_fraction=0.0)
+        return o
+
     def train(self, n_steps: int = 1, callback=None) -> float:
         """Advance n_steps. Steps are dispatched in chunks aligned to the
         density-grid cadence (train_chunk: the grid update + up to
@@ -815,9 +909,10 @@ class Trainer:
             step = self._host_step
             update = step % interval == 0
             n = min(interval - step % interval, remaining)
+            copts = self._chunk_opts(step)
             if callback is None:
                 self.state, losses = train_chunk(
-                    self.state, self.data, self.opts, n, update,
+                    self.state, self.data, copts, n, update,
                     step >= self.occ_warmup_steps)
                 loss_chunks.append(losses)
             else:
@@ -827,7 +922,7 @@ class Trainer:
                         rebuild_occ=step >= self.occ_warmup_steps)
                 for i in range(n):
                     self.state, loss = train_step(self.state, self.data,
-                                                  self.opts)
+                                                  copts)
                     lf = float(loss)
                     callback(step + i + 1, lf)
                     loss_chunks.append(jnp.full((1,), lf))

@@ -303,6 +303,59 @@ def test_latent_codes_train_and_roundtrip(tmp_path):
     assert np.isfinite(img).all()
 
 
+def test_compacted_step_matches_dense_when_bucket_fits():
+    """With a bucket generous enough that nothing overflows and
+    compact_T_eps=0 (keep every valid sample), the compacted step must
+    reproduce the dense step's loss and gradients — the scatter/gather
+    reshuffle is exact, only the dropped ~zero-weight suffix may ever
+    differ."""
+    import dataclasses as dc
+
+    import jax
+
+    from nerf_glasses_tpu.train.trainer import (_loss_and_grads,
+                                                _ray_batch)
+
+    ds = make_synth_dataset(n_images=2)
+    tr = Trainer(ds, TINY_OPTS, seed=7)
+    tr.train(40)                      # past nan-land, grid still dense
+    state = tr.state
+    rng, r1, r2, r3 = jax.random.split(state["rng"], 4)
+    img, px, py, target, samples = _ray_batch(
+        state, tr.data, r1, r2, TINY_OPTS.rays_per_batch, TINY_OPTS)
+    bg = jax.numpy.ones((TINY_OPTS.rays_per_batch, 3))
+
+    (loss_d, _), (grads_d, _) = _loss_and_grads(
+        state, tr.data, img, px, py, target, samples, bg, TINY_OPTS)
+    copts = dc.replace(TINY_OPTS, compact_keep_fraction=1.0,
+                       compact_T_eps=0.0)
+    (loss_c, _), (grads_c, _) = _loss_and_grads(
+        state, tr.data, img, px, py, target, samples, bg, copts)
+    np.testing.assert_allclose(float(loss_c), float(loss_d), rtol=1e-5)
+    for k in grads_d:
+        np.testing.assert_allclose(np.asarray(grads_c[k]),
+                                   np.asarray(grads_d[k]),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_compacted_training_converges():
+    """End-to-end: compaction on (default-style fraction, warmup
+    gated by Trainer._chunk_opts) reaches the same loss regime as
+    dense training on the synthetic sphere."""
+    import dataclasses as dc
+
+    opts = dc.replace(TINY_OPTS, compact_keep_fraction=1.0 / 3.0)
+    tr = Trainer(make_synth_dataset(), opts, seed=3)
+    tr.occ_warmup_steps = 64
+    tr.train(20)
+    early = tr.loss
+    tr.train(280)
+    assert np.isfinite(tr.loss)
+    assert tr.loss < early * 0.5
+    assert tr.loss < 0.03
+
+
 def test_train_chunk_matches_per_step():
     """train() dispatches fused train_chunk graphs; the per-step path
     (used with callbacks) must produce identical state."""

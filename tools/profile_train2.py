@@ -58,7 +58,10 @@ def make_variant(stage, opts):
         (loss, _), (grads, _) = T._loss_and_grads(
             state, data, img, px, py, target, samples, bg, opts)
         if stage == "grad":
-            return state, loss
+            # fold a grad leaf into the output so XLA cannot dead-code
+            # the backward pass away
+            leaf = jax.tree.leaves(grads)[0]
+            return state, loss + 0.0 * jnp.sum(leaf).astype(loss.dtype)
         new_params, new_opt = T.adam_update(state["params"], grads,
                                             state["opt"], state["step"], opts)
         state = {**state, "params": new_params, "opt": new_opt}
