@@ -201,12 +201,24 @@ def train_capture_snapshot(path: str, max_steps: int = 4000,
 
 
 def get_trained_snapshot(cache_dir: str):
-    """Cached trained snapshot path (train on first use)."""
+    """Trained snapshot path. Resolution order:
+
+    1. the COMMITTED copy under assets/trained (shipped in-tree so a
+       fresh checkout benches with zero training steps — the reference
+       ships its dataset fixture the same way,
+       /root/reference/volume/datasets/alice/);
+    2. the local cache (train on first use)."""
+    committed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", "trained",
+                             f"trained_head_v{SCENE_VERSION}.msgpack")
+    if os.path.exists(committed):
+        return committed
     path = os.path.join(cache_dir,
                         f"trained_head_v{SCENE_VERSION}.msgpack")
     meta = path + ".json"
     if not os.path.exists(path):
         import json
+        os.makedirs(cache_dir, exist_ok=True)
         stats = train_capture_snapshot(path)
         with open(meta, "w") as f:
             json.dump(stats, f)

@@ -391,18 +391,21 @@ class Testbed:
             if getattr(self, "deferred_shading", False):
                 kw["deferred_color"] = True
             if getattr(self, "flash", False) and self.config.max_cascade > 0:
-                # multi-cascade flash: baked pyramid + deferred shade +
-                # vectorized rounds (per-ray round-constant cone dt).
-                # The voxel-splat coarse init and dist advance stay
-                # cascade-0 constructs — rays start at the aabb entry
-                # and the per-epoch advance crosses empty space on the
-                # per-mip DDA probe. vector_occ_gate stays ON (default):
-                # the per-sample mip gate is what confines sampling to
-                # the cascade the bake masked.
+                # multi-cascade flash: baked pyramid + per-cascade
+                # feature pyramid (deferred shade with zero hash
+                # traffic) + vectorized rounds (per-ray round-constant
+                # cone dt) + the voxel-splat coarse init over EVERY
+                # cascade's occupied centers (depth-padded by the
+                # cascade's voxel half-diagonal, _scene/occ_pts_pad).
+                # vector_occ_gate stays ON (default): the per-sample
+                # mip gate is what confines sampling to the cascade the
+                # bake masked.
                 kw["deferred_color"] = True
                 kw["vector_rounds"] = True
                 kw["steps_per_round"] = 16
                 kw["chunk"] = 1 << 11
+                kw["lowres_factor"] = 8
+                kw["advance_iters"] = 24
                 # clearance-scaled advance (one gather per iteration,
                 # hops bounded by the mip-safety clamps)
                 kw["dist_advance"] = True
@@ -472,6 +475,31 @@ class Testbed:
                 pts = np.argwhere(occ0).astype(np.float32)   # (M,3) z,y,x
                 centers = (pts[:, ::-1] + 0.5) / C.NERF_GRIDSIZE
                 scene["occ_pts"] = jnp.asarray(centers)
+            else:
+                # multi-cascade voxel splat: occupied centers of EVERY
+                # cascade in raw coords (cascade c's cube has side 2^c
+                # centered at 0.5). flash_init projects raw-space points
+                # and floors t with camera z-depth, so points outside
+                # the unit cube are handled by the same scatter-min
+                occ_np = np.asarray(self._occ) > 0
+                all_pts, all_pads = [], []
+                for c in range(self.config.max_cascade + 1):
+                    pts = np.argwhere(occ_np[c]).astype(np.float32)
+                    if len(pts) == 0:
+                        continue
+                    local = (pts[:, ::-1] + 0.5) / C.NERF_GRIDSIZE
+                    all_pts.append((local - 0.5) * float(1 << c) + 0.5)
+                    # voxel half-diagonal at this cascade: conservative
+                    # depth pad for the splat (raymarch.flash_init)
+                    half_diag = (np.sqrt(3.0) * (1 << c)
+                                 / (2.0 * C.NERF_GRIDSIZE))
+                    all_pads.append(np.full(len(pts), half_diag,
+                                            np.float32))
+                if all_pts:
+                    scene["occ_pts"] = jnp.asarray(
+                        np.concatenate(all_pts, axis=0))
+                    scene["occ_pts_pad"] = jnp.asarray(
+                        np.concatenate(all_pads, axis=0))
         if (self.config.n_extra_learnable_dims
                 and getattr(self, "extra_dims", None) is not None):
             # inference latent codes (get_inference_extra_dims,
@@ -510,10 +538,11 @@ class Testbed:
                                                bake_grids_cascades,
                                                pack_sigma_bricks)
         if self.config.max_cascade != 0:
-            packed, _ = bake_grids_cascades(
+            packed, feat, _ = bake_grids_cascades(
                 self.params, self.config, resolution, occ=self.occ,
-                log_space=sigma_log, aabb=(self.aabb.min, self.aabb.max))
-            self._baked_feat = None
+                log_space=sigma_log, aabb=(self.aabb.min, self.aabb.max),
+                features=features, feat_resolution=feat_resolution)
+            self._baked_feat = feat
             self._baked_sigma_log = sigma_log
             self._baked_sigma = packed
             self.reset_accumulation()
@@ -532,13 +561,24 @@ class Testbed:
         self._baked_sigma_log = sigma_log
         # the _baked_sigma setter bumps _scene_version, invalidating the
         # memoized scene (which carries both grids)
-        self._baked_sigma = pack_sigma_bricks(np.asarray(grid))
+        self._baked_sigma = pack_sigma_bricks(grid)
         self.reset_accumulation()
 
     def unbake(self):
         self._baked_feat = None
         self._baked_sigma = None
         self._baked_sigma_log = False
+
+    def adopt_bake(self, other: "Testbed"):
+        """Share another Testbed's baked grids. The baked tables are
+        read-only device arrays and a pure function of (params,
+        resolution), so two renderers over the same snapshot need only
+        ONE bake() — the r4 bench re-baked the same trained snapshot
+        per renderer and blew its delivery budget."""
+        self._baked_feat = other._baked_feat
+        self._baked_sigma_log = getattr(other, "_baked_sigma_log", False)
+        self._baked_sigma = other._baked_sigma   # bumps _scene_version
+        self.reset_accumulation()
 
     def verify_bake_fidelity(self, width: int = 160, height: int = 160,
                              threshold_db: float = 30.0, camera=None,

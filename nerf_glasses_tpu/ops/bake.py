@@ -100,63 +100,69 @@ def bake_grids(params, config: NGPConfig, resolution: int = 256,
     empty_fill = np.float32(LOG_SIGMA_PAD if log_space else 0.0)
     side = float(1 << mip)
 
-    def net_pos(raw):
-        if aabb is None:
-            return raw
-        lo = np.asarray(aabb[0], np.float32)
-        hi = np.asarray(aabb[1], np.float32)
-        return (raw - lo) / (hi - lo)
+    if aabb is not None:
+        aabb_lo = jnp.asarray(np.asarray(aabb[0], np.float32))
+        aabb_hi = jnp.asarray(np.asarray(aabb[1], np.float32))
 
-    fn = jax.jit(lambda p, x: density_raw(p, x, config))
+    # one jitted fn evaluates position -> (sigma-or-raw, features);
+    # everything downstream (concat, scatter, reshape) stays on device —
+    # a 640^3 sweep used to round-trip gigabytes through host numpy
+    @jax.jit
+    def fn(p, x):
+        if aabb is not None:
+            x = (x - aabb_lo) / (aabb_hi - aabb_lo)
+        d_out = density_raw(p, x, config)
+        raw = d_out[:, 0]
+        if log_space:
+            # clamp so exp after interpolation cannot overflow f32
+            sig = jnp.minimum(raw, 30.0)
+        else:
+            sig = apply_density_activation(raw, config.density_activation)
+        return sig, (d_out.astype(jnp.bfloat16) if features else sig[:0])
 
     def sweep(pos_sel):
         sig, feat = [], []
         for s in range(0, pos_sel.shape[0], batch):
-            d_out = fn(params, jnp.asarray(pos_sel[s:s + batch]))
-            raw = d_out[:, 0]
-            if log_space:
-                # clamp so exp after interpolation cannot overflow f32
-                raw = jnp.minimum(raw, 30.0)
-            sig.append(np.asarray(
-                raw if log_space else
-                apply_density_activation(raw, config.density_activation),
-                np.float32))
+            s_out, f_out = fn(params, pos_sel[s:s + batch])
+            sig.append(s_out)
             if features:
-                feat.append(np.asarray(d_out, np.float32))
-        sig = (np.concatenate(sig) if sig
-               else np.zeros((0,), np.float32))
-        feat = (np.concatenate(feat) if features and feat
-                else (np.zeros((0, 16), np.float32) if features else None))
+                feat.append(f_out)
+        sig = (jnp.concatenate(sig) if sig
+               else jnp.zeros((0,), jnp.float32))
+        feat = (jnp.concatenate(feat) if features and feat
+                else (jnp.zeros((0, 16), jnp.bfloat16) if features
+                      else None))
         return sig, feat
 
-    g = (np.arange(R, dtype=np.float32) + 0.5) / R
-    g = (g - 0.5) * side + 0.5            # cascade-local -> raw coords
     if up is None:
-        zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
-        pos = np.stack([xx, yy, zz], -1).reshape(-1, 3)
-        sig, feat = sweep(net_pos(pos))
-        grid = jnp.asarray(sig.reshape(R, R, R))
-        return grid, (jnp.asarray(feat, jnp.bfloat16) if features else None)
-
-    idx = np.flatnonzero(up.ravel())            # [z, y, x] ravel order
-    iz, rem = np.divmod(idx, R * R)
-    iy, ix = np.divmod(rem, R)
-    pos = np.stack([g[ix], g[iy], g[iz]], -1).astype(np.float32)
-    sig, feat = sweep(net_pos(pos))
-    full = np.full(R * R * R, empty_fill, np.float32)
-    full[idx] = sig
-    grid = jnp.asarray(full.reshape(R, R, R))
+        idx = np.arange(R * R * R, dtype=np.int64)
+    else:
+        idx = np.flatnonzero(up.ravel())        # [z, y, x] ravel order
+    idx_d = jnp.asarray(idx.astype(np.int32))   # R <= 1024: fits int32
+    iz, rem = jnp.divmod(idx_d, R * R)
+    iy, ix = jnp.divmod(rem, R)
+    gd = (jnp.arange(R, dtype=jnp.float32) + 0.5) / R
+    gd = (gd - 0.5) * side + 0.5          # cascade-local -> raw coords
+    pos = jnp.stack([gd[ix], gd[iy], gd[iz]], -1)
+    sig, feat = sweep(pos)
+    if up is None:
+        grid = sig.reshape(R, R, R)
+        return grid, (feat if features else None)
+    full = jnp.full((R * R * R,), empty_fill, jnp.float32)
+    grid = full.at[idx_d].set(sig).reshape(R, R, R)
     if not features:
         return grid, None
-    feat_full = np.zeros((R * R * R, 16), np.float32)
-    feat_full[idx] = feat
-    return grid, jnp.asarray(feat_full, jnp.bfloat16)
+    feat_full = jnp.zeros((R * R * R, 16), jnp.bfloat16).at[idx_d].set(feat)
+    return grid, feat_full
 
 
 def bake_grids_cascades(params, config: NGPConfig, resolution: int = 256,
-                        occ=None, log_space: bool = True, aabb=None):
+                        occ=None, log_space: bool = True, aabb=None,
+                        features: bool = False,
+                        feat_resolution: Optional[int] = None):
     """Bake a per-cascade sigma pyramid for aabb_scale > 1 scenes ->
-    (packed (n_casc * B^3, 128) brick table, n_casc).
+    (packed (n_casc * B^3, 128) brick table,
+     feat ((n_casc * Rf^3, 16) bfloat16 pyramid or None), n_casc).
 
     Cascade c's R^3 grid covers the cube of side 2^c centered at 0.5 —
     exactly the cube occupancy mip c covers (testbed.cu:188-202,
@@ -164,15 +170,30 @@ def bake_grids_cascades(params, config: NGPConfig, resolution: int = 256,
     (mip_from_dt) picks the same cascade for the sigma lookup as it does
     for the occupancy gate. Each cascade is packed with
     pack_sigma_bricks and the tables are row-concatenated; sampling goes
-    through sample_sigma_bricks_mip_soa with row offset mip * B^3."""
+    through sample_sigma_bricks_mip_soa with row offset mip * B^3.
+
+    features=True additionally bakes the per-cascade 16-wide density-MLP
+    output pyramid (row offset mip * Rf^3, sample_feat_grid_mip) so the
+    deferred shade runs with zero hash-table traffic on multi-cascade
+    scenes too — without it every shaded ray re-paid hash-encode +
+    density MLP, the round-4 multicascade fps gap."""
     n_casc = config.max_cascade + 1
-    packed = []
+    if feat_resolution is None:
+        feat_resolution = min(resolution, 256)
+    same = feat_resolution == resolution
+    packed, feats = [], []
     for c in range(n_casc):
-        grid, _ = bake_grids(params, config, resolution, occ=occ,
-                             features=False, log_space=log_space,
-                             mip=c, aabb=aabb)
-        packed.append(pack_sigma_bricks(np.asarray(grid)))
-    return jnp.concatenate(packed, axis=0), n_casc
+        grid, feat = bake_grids(params, config, resolution, occ=occ,
+                                features=features and same,
+                                log_space=log_space, mip=c, aabb=aabb)
+        packed.append(pack_sigma_bricks(grid))
+        if features and not same:
+            _, feat = bake_grids(params, config, feat_resolution, occ=occ,
+                                 features=True, mip=c, aabb=aabb)
+        if features:
+            feats.append(feat)
+    feat = jnp.concatenate(feats, axis=0) if features else None
+    return jnp.concatenate(packed, axis=0), feat, n_casc
 
 
 def sample_sigma_bricks_mip_soa(bricks: jnp.ndarray, n_casc: int,
@@ -251,7 +272,64 @@ def sample_feat_grid(feat: jnp.ndarray, pos01: jnp.ndarray) -> jnp.ndarray:
     return c0 * (1 - fz) + c1 * fz
 
 
-def pack_sigma_bricks(sigma_grid: np.ndarray) -> jnp.ndarray:
+def _expand_last_to_bricks(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., R) -> (..., B, 5) where out[..., b, d] = a_pad[..., 4b + d]
+    and a_pad is `a` edge-padded by one: the 4-sample block plus the
+    first sample of the next block (replicated at the far edge)."""
+    R = a.shape[-1]
+    B = R // 4
+    core = a.reshape(a.shape[:-1] + (B, 4))
+    nxt = jnp.concatenate([a[..., 4::4], a[..., -1:]], axis=-1)  # (..., B)
+    return jnp.concatenate([core, nxt[..., None]], axis=-1)
+
+
+@jax.jit
+def _pack_sigma_bricks_impl(g: jnp.ndarray) -> jnp.ndarray:
+    R = g.shape[0]
+    B = R // 4
+    g1 = _expand_last_to_bricks(g)                       # (Z, Y, BX, dx)
+    g2 = _expand_last_to_bricks(jnp.moveaxis(g1, 1, -1))  # (Z, BX, dx, BY, dy)
+    g3 = _expand_last_to_bricks(jnp.moveaxis(g2, 0, -1))  # (BX, dx, BY, dy, BZ, dz)
+    out = g3.transpose(4, 2, 0, 5, 3, 1)                 # (BZ, BY, BX, dz, dy, dx)
+    flat = out.reshape(B * B * B, 125)
+    return jnp.pad(flat, ((0, 0), (0, 3)))
+
+
+def sample_feat_grid_mip(feat: jnp.ndarray, n_casc: int,
+                         pos_raw: jnp.ndarray, mip) -> jnp.ndarray:
+    """Cascade-aware trilinear lookup into a bake_grids_cascades feature
+    pyramid: feat (n_casc * R^3, 16) [z, y, x raveled per cascade],
+    pos_raw (N, 3) RAW marching coords, mip (N,) int32 -> (N, 16) f32.
+
+    Maps each point into its cascade's local [0,1] cube
+    (q = (p - 0.5) * 2^-mip + 0.5, the occupied_at convention) and
+    gathers from that cascade's rows (offset mip * R^3) — the
+    multi-cascade sibling of sample_feat_grid."""
+    R = round((feat.shape[0] // n_casc) ** (1.0 / 3.0))
+    scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    q = jnp.clip((pos_raw - 0.5) * scale + 0.5, 0.0, 1.0) * R - 0.5
+    i0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, R - 2)
+    f = jnp.clip(q - i0, 0.0, 1.0)
+    ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+    base = mip.astype(jnp.int32) * (R * R * R)
+
+    def at(dx, dy, dz):
+        idx = base + ((iz + dz) * R + (iy + dy)) * R + (ix + dx)
+        return jnp.take(feat, idx, axis=0).astype(jnp.float32)
+
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+    c00 = at(0, 0, 0) * (1 - fx) + at(1, 0, 0) * fx
+    c10 = at(0, 1, 0) * (1 - fx) + at(1, 1, 0) * fx
+    c01 = at(0, 0, 1) * (1 - fx) + at(1, 0, 1) * fx
+    c11 = at(0, 1, 1) * (1 - fx) + at(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def pack_sigma_bricks(sigma_grid) -> jnp.ndarray:
     """(R, R, R) [z, y, x] dense grid -> (B^3, 128) brick table, B = R/4.
 
     Brick (bz, by, bx) stores the 5x5x5 sample block
@@ -263,22 +341,16 @@ def pack_sigma_bricks(sigma_grid: np.ndarray) -> jnp.ndarray:
     125 floats pad to 128 lanes = one 512-byte row, which rides XLA's
     full-vreg gather fast path on TPU (~3.8x the narrow-row rate
     measured on v5e) — one gather per sample instead of eight.
-    """
-    g = np.asarray(sigma_grid, np.float32)
+
+    Runs entirely on device under ONE jit (reshape/concat per axis —
+    NOT a 125-way strided gather, which cost ~32 s on host at 640^3 and
+    serialized the whole bake through host memory; un-jitted, the
+    intermediates materialize one by one and OOM a 16 GB chip next to a
+    baked feature grid)."""
+    g = jnp.asarray(sigma_grid, jnp.float32)
     R = g.shape[0]
     assert R % 4 == 0 and g.shape == (R, R, R)
-    B = R // 4
-    gp = np.pad(g, ((0, 1), (0, 1), (0, 1)), mode="edge")
-    out = np.empty((B, B, B, 5, 5, 5), np.float32)
-    for dz in range(5):
-        for dy in range(5):
-            for dx in range(5):
-                out[..., dz, dy, dx] = gp[dz:dz + 4 * B:4,
-                                          dy:dy + 4 * B:4,
-                                          dx:dx + 4 * B:4]
-    flat = out.reshape(B * B * B, 125)
-    return jnp.asarray(np.concatenate(
-        [flat, np.zeros((flat.shape[0], 3), np.float32)], axis=1))
+    return _pack_sigma_bricks_impl(g)
 
 
 def sample_sigma_bricks_soa(bricks: jnp.ndarray, px, py, pz) -> jnp.ndarray:

@@ -52,6 +52,7 @@ from nerf_glasses_tpu import constants as C
 from nerf_glasses_tpu.config import NGPConfig
 from nerf_glasses_tpu.ops import occupancy as occ_ops
 from nerf_glasses_tpu.ops.bake import (sample_feat_grid,
+                                       sample_feat_grid_mip,
                                        sample_sigma_bricks,
                                        sample_sigma_bricks_mip_soa)
 from nerf_glasses_tpu.ops.compaction import stable_partition_ids
@@ -632,7 +633,13 @@ def flash_init(scene, cam, width: int, height: int, opts: MarchOptions):
         cy = jnp.floor(v * height / F).astype(jnp.int32)
         inb = valid & (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
         cell = jnp.where(inb, cy * Wl + cx, Hl * Wl)   # overflow slot
-        tgrid = jnp.full((Hl * Wl + 1,), jnp.inf).at[cell].min(qz)
+        # per-point conservative pad (scene["occ_pts_pad"]): voxel
+        # half-diagonal, so content entering in FRONT of the center
+        # still clears the floor — multi-cascade scenes splat coarse
+        # cascades whose voxels are 2^c wider than lowres_slack covers
+        qz_splat = (qz - scene["occ_pts_pad"] if "occ_pts_pad" in scene
+                    else qz)
+        tgrid = jnp.full((Hl * Wl + 1,), jnp.inf).at[cell].min(qz_splat)
         t_img = tgrid[:-1].reshape(Hl, Wl)
         R = opts.lowres_splat_radius
         K = 2 * R + 1
@@ -918,9 +925,21 @@ def _march_round(st, params, scene, opts: MarchOptions):
 
             use_feat = opts.feat_color and "feat" in scene
 
+            if use_feat and cfg.max_cascade > 0:
+                posraw_flat = pos.reshape(-1, 3)
+                mip_flat = mip_k.reshape(-1)
+
             def sub_body(i, rgb_flat):
                 sel = jax.lax.dynamic_slice(perm, (i * SUB,), (SUB,))
-                if use_feat:
+                if use_feat and cfg.max_cascade > 0:
+                    feat = sample_feat_grid_mip(
+                        scene["feat"], cfg.max_cascade + 1,
+                        posraw_flat[sel], mip_flat[sel])
+                    rgb_raw = rgb_from_features(
+                        params, feat, dir_flat[sel], cfg,
+                        compute_dtype=opts.cdtype,
+                        extra=scene.get("extra_dims"))
+                elif use_feat:
                     feat = sample_feat_grid(scene["feat"], pos_flat[sel])
                     rgb_raw = rgb_from_features(
                         params, feat, dir_flat[sel], cfg,
@@ -1044,11 +1063,20 @@ def _deferred_shade(st, params, scene, opts: MarchOptions):
         o = st["o"][idx]
         d = st["d"][idx]
         t = st["depth"][idx]
-        pos01 = jnp.clip((o + d * t[:, None] - scene["train_min"])
-                         / extent, 0.0, 1.0)
+        pos_raw = o + d * t[:, None]
+        pos01 = jnp.clip((pos_raw - scene["train_min"]) / extent, 0.0, 1.0)
         dir01 = (d + 1.0) * 0.5
         if feat_grid is not None:
-            feat = sample_feat_grid(feat_grid, pos01)
+            if cfg.max_cascade > 0:
+                # cascade feature pyramid: pick the shade point's mip
+                # the same way the march's sampling gate does
+                # (mip_from_dt at the composited depth)
+                dt = occ_ops.calc_dt(t, opts.cone_angle)
+                mip = occ_ops.mip_from_dt(dt, pos_raw, cfg.max_cascade)
+                feat = sample_feat_grid_mip(feat_grid, cfg.max_cascade + 1,
+                                            pos_raw, mip)
+            else:
+                feat = sample_feat_grid(feat_grid, pos01)
             rgb_raw = rgb_from_features(params, feat, dir01, cfg,
                                         compute_dtype=opts.cdtype,
                                         extra=scene.get("extra_dims"))

@@ -397,10 +397,28 @@ class ShardedTrainer(trainer_mod.Trainer):
         self.mesh = mesh if mesh is not None else make_mesh()
         self._step_fn = make_sharded_train_step(self.mesh, self.opts)
         self._chunk_fn = make_sharded_train_chunk(self.mesh, self.opts)
+        # Trainer._chunk_opts warmup gating (compaction forced off while
+        # the occupancy grid is dense): the sharded step/chunk bake opts
+        # into their closures, so build the warmup variants explicitly —
+        # same "two compiled variants total" rule as the single-chip path
+        warm = self._chunk_opts(0)
+        if warm is not self.opts:
+            self._step_fn_warmup = make_sharded_train_step(self.mesh, warm)
+            self._chunk_fn_warmup = make_sharded_train_chunk(self.mesh,
+                                                             warm)
+        else:
+            self._step_fn_warmup = self._step_fn
+            self._chunk_fn_warmup = self._chunk_fn
         # replicate state + data across the mesh
         rep = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, rep)
         self.data = jax.device_put(self.data, rep)
+
+    def _fns_for(self, step: int):
+        """(chunk_fn, step_fn) honoring the compaction warmup gate."""
+        if self._chunk_opts(step) is not self.opts:
+            return self._chunk_fn_warmup, self._step_fn_warmup
+        return self._chunk_fn, self._step_fn
 
     def train(self, n_steps: int = 1, callback=None) -> float:
         if not hasattr(self, "loss_history"):
@@ -413,9 +431,10 @@ class ShardedTrainer(trainer_mod.Trainer):
             update = step % interval == 0
             n = min(interval - step % interval, remaining)
             rebuild = step >= self.occ_warmup_steps
+            chunk_fn, step_fn = self._fns_for(step)
             if callback is None:
                 with self.mesh:
-                    self.state, losses = self._chunk_fn(
+                    self.state, losses = chunk_fn(
                         self.state, self.data, n, update, rebuild)
                 loss_chunks.append(losses)
             else:
@@ -423,7 +442,7 @@ class ShardedTrainer(trainer_mod.Trainer):
                     self.state = trainer_mod.update_density_grid(
                         self.state, self.opts, rebuild_occ=rebuild)
                 for i in range(n):
-                    self.state, loss = self._step_fn(self.state, self.data)
+                    self.state, loss = step_fn(self.state, self.data)
                     lf = float(loss)
                     callback(step + i + 1, lf)
                     loss_chunks.append(jnp.full((1,), lf))

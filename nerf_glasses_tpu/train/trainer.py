@@ -152,6 +152,17 @@ class TrainOptions:
     # warmup (dense grid -> everything kept -> certain overflow).
     compact_keep_fraction: float = 0.0
     compact_T_eps: float = 1e-5
+    # Adaptive compaction gate: compaction additionally stays off until
+    # the occupancy grid's occupied fraction falls below this value.
+    # Rationale (tools/ab_compaction.py, measured): enabling compaction
+    # right after occ warmup on a still-foggy grid (≈90% occupied at
+    # the loss-contract stop) overflows the static bucket every step and
+    # drops the DEEP samples — exactly the ones whose gradients carve
+    # the fog — so training plateaus at fog (holdout 20.1 dB vs 38.8
+    # dense). Once the grid has carved (the capture scene converges to
+    # ~6% occupied), the transmittance-prefix keep set fits the bucket
+    # and compaction is loss-neutral at ~2.4x the step rate.
+    compact_occ_frac_gate: float = 0.2
 
     @property
     def cdtype(self):
@@ -872,6 +883,15 @@ class Trainer:
         # host-side mirror of state["step"] so the loop never syncs just
         # to know where it is
         self._host_step = 0
+        # adaptive compaction gate state (see TrainOptions
+        # .compact_occ_frac_gate); the dense variant is memoized so
+        # _chunk_opts returns one of exactly two option objects (two
+        # compiled variants total, and `is` checks work downstream)
+        self._dense_opts = (dataclasses.replace(
+            opts, compact_keep_fraction=0.0)
+            if opts.compact_keep_fraction > 0.0 else opts)
+        self._compact_ready = False
+        self._last_compact_check = -(1 << 30)
 
     @property
     def step(self) -> int:
@@ -882,15 +902,41 @@ class Trainer:
     # loss-graph buffer parity (testbed.cuh:561)
     loss_history_capacity: int = 256
 
+    # re-check the adaptive compaction gate at this step cadence (one
+    # scalar device fetch per check; 256 steps ~ 16 grid updates)
+    compact_check_interval: int = 256
+
+    def _compaction_active(self, step: int) -> bool:
+        """Adaptive gate: compaction turns on only once (a) occupancy
+        warmup is over AND (b) the grid's occupied fraction has fallen
+        under compact_occ_frac_gate (it never turns back off — the
+        grid only carves further). See the field's docstring for the
+        measured failure this prevents."""
+        o = self.opts
+        if o.compact_keep_fraction <= 0.0:
+            return False
+        if step < self.occ_warmup_steps:
+            return False
+        if self._compact_ready:
+            return True
+        if step - self._last_compact_check >= self.compact_check_interval:
+            self._last_compact_check = step
+            n_casc = o.config.max_cascade + 1
+            occ = self.state["occ"][:n_casc]
+            frac = float(jnp.mean((occ > 0).astype(jnp.float32)))
+            if frac <= o.compact_occ_frac_gate:
+                self._compact_ready = True
+        return self._compact_ready
+
     def _chunk_opts(self, step: int) -> TrainOptions:
         """Options for the chunk starting at `step`: sample compaction
-        is forced off during occupancy warmup (grid dense -> every
-        sample kept -> the static bucket would overflow and drop real
-        samples). Two compiled variants total."""
-        o = self.opts
-        if o.compact_keep_fraction > 0.0 and step < self.occ_warmup_steps:
-            return dataclasses.replace(o, compact_keep_fraction=0.0)
-        return o
+        is forced off during occupancy warmup and while the adaptive
+        occupied-fraction gate is closed (_compaction_active). Two
+        compiled variants total (self.opts / self._dense_opts)."""
+        if (self.opts.compact_keep_fraction > 0.0
+                and not self._compaction_active(step)):
+            return self._dense_opts
+        return self.opts
 
     def train(self, n_steps: int = 1, callback=None) -> float:
         """Advance n_steps. Steps are dispatched in chunks aligned to the
@@ -1003,3 +1049,56 @@ class Trainer:
 
     def save_snapshot(self, path: str):
         self.to_testbed().save_snapshot(path)
+
+    def load_snapshot(self, path: str):
+        """Resume training from an NGP-format snapshot — the reference
+        flow loads a snapshot and keeps training through the same frame
+        loop (pyngp Testbed.load_snapshot + frame, volume/train.py
+        semantics). Restores params, the density grid (+ rebuilt
+        occupancy bitfield), the step counter, and latent codes; Adam
+        moments restart at zero (the snapshot format carries
+        params_binary only, tcnn trainer.h:270-306).
+
+        The snapshot's network config must equal the Trainer's — the
+        compiled train graphs are shape-specialized. To resume without
+        knowing the config, read it first:
+            s = snap_io.load_snapshot(path)
+            tr = Trainer(ds, TrainOptions(config=s.config))
+            tr.load_snapshot(path)
+        """
+        from nerf_glasses_tpu.io import snapshot as snap_io
+        from nerf_glasses_tpu.ops.network import unpack_params
+        s = snap_io.load_snapshot(path)
+        if s.config != self.opts.config:
+            raise ValueError(
+                f"snapshot config {s.config} != Trainer config "
+                f"{self.opts.config}; build the Trainer with the "
+                f"snapshot's config to resume")
+        params = jax.tree.map(jnp.asarray,
+                              unpack_params(s.params_blob, s.config))
+        n_casc = self.opts.config.max_cascade + 1
+        st = dict(self.state)
+        st["params"] = params
+        st["opt"] = adam_init(params)
+        grid = jnp.asarray(np.asarray(s.density_grid, np.float32)[:n_casc])
+        st["density_grid"] = grid
+        st["occ"] = occ_ops.build_occupancy(grid,
+                                            self.opts.config.max_cascade)
+        st["step"] = jnp.int32(s.training_step)
+        st["loss_ema"] = jnp.float32(s.loss or 0.0)
+        if (self.opts.config.n_extra_learnable_dims
+                and s.extra_dims is not None
+                and "extra_dims" in st.get("aux", {})):
+            aux = dict(st["aux"])
+            ed = jnp.asarray(s.extra_dims, jnp.float32)
+            if ed.ndim == 1:    # snapshot stores the inference code;
+                ed = jnp.broadcast_to(ed, aux["extra_dims"].shape)
+            if ed.shape == aux["extra_dims"].shape:
+                aux["extra_dims"] = ed
+                st["aux"] = aux
+        self.state = st
+        self._host_step = int(s.training_step)
+        self.loss = float(s.loss or float("nan"))
+        # adaptive compaction gate re-evaluates on the resumed grid
+        self._compact_ready = False
+        self._last_compact_check = -(1 << 30)

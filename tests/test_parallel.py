@@ -165,3 +165,46 @@ def test_hybrid_sharded_mesh_occludes_nerf(tmp_path):
     # 26..38) but still crosses the blob (graze at col ~43) records NeRF
     # depth ~ its entry distance
     assert depth[cy, 40] > 0.5, depth[cy, 40]
+
+
+def test_sharded_trainer_compaction_warmup_gate():
+    """VERDICT r4 weak #4: ShardedTrainer must honor Trainer._chunk_opts
+    — compaction forced off while the occupancy grid is dense, so
+    warmup steps never drop real samples into a static bucket sized for
+    the converged keep fraction. One chunk-options policy, both paths."""
+    import dataclasses
+
+    opts = dataclasses.replace(
+        TrainOptions(config=TINY_CFG, rays_per_batch=512,
+                     samples_per_ray=96,
+                     grid_samples_per_update=1 << 12,
+                     cone_angle=1.0 / 64, compute_dtype="float32"),
+        compact_keep_fraction=1.0 / 3.0)
+    ds = make_synth_dataset(n_images=4)
+    mesh = sharding.make_mesh()
+    tr = sharding.ShardedTrainer(ds, opts, mesh=mesh)
+    tr.occ_warmup_steps = 16
+
+    # the warmup variant must be a distinct compiled fn with compaction
+    # off; past warmup the real (compacting) variant takes over
+    assert tr._fns_for(0) == (tr._chunk_fn_warmup, tr._step_fn_warmup)
+    assert tr._fns_for(tr.occ_warmup_steps) == (tr._chunk_fn, tr._step_fn)
+    assert tr._chunk_fn_warmup is not tr._chunk_fn
+
+    losses_early = [tr.train(1) for _ in range(4)]   # inside warmup
+    tr.train(60)                                     # crosses the gate
+    losses_late = [tr.train(1) for _ in range(4)]
+    assert tr.step == 68
+    assert np.isfinite(losses_late).all()
+    assert np.mean(losses_late) < np.mean(losses_early) * 0.8
+
+
+def test_sharded_trainer_no_compaction_shares_fns():
+    """Without compaction the warmup variants must alias the base fns
+    (no extra compiles)."""
+    opts = TrainOptions(config=TINY_CFG, rays_per_batch=512,
+                        samples_per_ray=32, compute_dtype="float32")
+    ds = make_synth_dataset(n_images=2)
+    tr = sharding.ShardedTrainer(ds, opts, mesh=sharding.make_mesh())
+    assert tr._chunk_fn_warmup is tr._chunk_fn
+    assert tr._step_fn_warmup is tr._step_fn
