@@ -7,41 +7,61 @@ trained by the repo's own trainer (bench_scene.py), evaluated against
 HELD-OUT views. The de-facto reference metric is the live hybrid loop on
 a trained capture (volume/render.py:245-261), so that is the headline.
 
-Legs (ALL timed interleaved over N_ROUNDS rounds — the bench machine's
-speed varies 1.5-2x between runs, so only same-run interleaved
-comparisons are valid; per-leg fps is the best round and `timing_noise`
-reports the headline leg's max/min spread):
-  1. HEADLINE — trained hybrid (trained NeRF + glasses.gltf) on the
-     fastest path that meets the fidelity budget (see gate below).
-  2. procedural blob (NGPConfig.native_fast, weight-hacked opaque head):
-     unbaked / baked / flash / flash_sigcolor — the controlled-occupancy
-     A/B ladder for the march fast paths.
+DELIVERY CONTRACT (r4 post-mortem: the bench outgrew its ~30-minute
+driver budget and printed nothing before the kill):
+  - A full JSON result line is printed (flushed) after EVERY completed
+    phase, with "partial": true until the last one. The driver parses
+    the LAST line, so even a timeout records the best result so far.
+  - The headline phase runs FIRST: the first JSON line lands as soon as
+    the trained-hybrid timing finishes (~minutes, not at the end).
+  - Each snapshot is baked ONCE (Testbed.adopt_bake shares the tables
+    between the holdout gate and the hybrid renderer); baking is
+    device-resident end to end (ops/bake.py — the r4 host-side brick
+    pack alone cost ~32 s x 4 bakes).
+  - Phases run strictly sequentially and release their device arrays
+    before the next phase (three 640^3 bakes do not fit HBM together).
+  - The trained snapshot ships in-tree (assets/trained/), so a fresh
+    checkout performs ZERO training steps before the headline.
+  - The wide diagnostic ladder (baked / flash_sigcolor blob legs,
+    4-view holdout) runs only under --full; the default run keeps the
+    phases that carry recorded claims.
+
+Phases (each ends with an emitted JSON line):
+  1. HEADLINE — trained NeRF + glasses.gltf on the fastest path that
+     meets the fidelity budget (budget gate below), 720p orbit fps.
+  2. procedural blob (NGPConfig.native_fast, weight-hacked opaque
+     head): unbaked golden-pinned frame + unbaked/flash fps ladder.
   3. reference-compatible NGPConfig() (L=16, F=2, T=2^19 — the tcnn
-     default a real instant-ngp snapshot carries, testbed.cu:57-101),
-     unbaked AND bake()+flash.
+     default a real instant-ngp snapshot carries, testbed.cu:57-101):
+     unbaked AND bake()+flash fps.
   4. multi-cascade (aabb_scale=4) snapshot: baked-pyramid fast path
      (bake_grids_cascades + deferred shade) with a vs-exact PSNR gate —
      the reference renders any aabb_scale at full speed
      (testbed.cu:1027-1118), so the fast path must cover it too.
   5. training throughput: steps/sec of the native trainer
-     (train_chunk-dispatched) + projected minutes for the reference
-     train.py contract's 10k steps (volume/train.py:11-12).
+     (train_chunk-dispatched), with and without transmittance-prefix
+     sample compaction, + projected minutes for the reference train.py
+     contract's 10k steps (volume/train.py:11-12).
 
 Fidelity gates:
   - BUDGET GATE (decides the headline path): a fast path qualifies only
     if its trained-scene holdout PSNR is within BUDGET_DB (0.5 dB,
     BASELINE.md) of the exact (unbaked) renderer's holdout PSNR —
     measured on held-out views the trainer never saw. Candidate bundles
-    are probed in speed order (flash deferred-color, flash feat-color,
-    baked sig-color) and the first within budget wins; if none
-    qualifies the headline falls back to the exact renderer.
-  - 35 dB smoke bounds: every blob fast path must stay within 35 dB of
-    the exact render of the same frame (catches structural breakage;
-    it does NOT bound the holdout budget — the budget gate does).
+    are probed in speed order and the FIRST within budget wins (later,
+    slower candidates are not rendered); if none qualifies the headline
+    falls back to the exact renderer.
+  - 35 dB smoke bound: the blob flash path must stay within 35 dB of
+    the exact render of the same frame (structural breakage check).
   - psnr_vs_golden pins the unbaked blob output against a stored golden.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30, ...}
+Timing note: phases are sequential (not interleaved across phases), so
+cross-phase fps ratios carry the bench machine's 1.5-2x run-to-run
+drift; `timing_noise_max_over_min` reports the headline leg's own
+spread across its N_ROUNDS interleaved rounds.
+
+Prints one JSON line per phase; the LAST line is the result:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": N, ...}
 vs_baseline is measured against the BASELINE.md target of >= 30 FPS at
 720p (the reference repo publishes no absolute numbers).
 """
@@ -73,14 +93,15 @@ N_FRAMES = 24         # frames per timing leg (the tunnel's ~77 ms drain
                       # 57.5 vs 62.6 ms/frame. The drain is a tunnel
                       # artifact, absent on locally-attached TPUs)
 N_FRAMES_SLOW = 4     # frames per round for the ~1-2 fps unbaked legs
-N_ROUNDS = 3          # interleaved rounds over all paths
+N_ROUNDS = 3          # rounds for the headline leg (noise stat)
+N_ROUNDS_AUX = 2      # rounds for the non-headline timed legs
 GLASSES = "/root/reference/nerf_mesh_renderer/assets/meshes/glasses/glasses.gltf"
 ROOT = os.path.dirname(os.path.abspath(__file__))
 GOLDEN = os.path.join(ROOT, "tests", "goldens", "bench_720p_golden.png")
 CACHE = os.path.join(ROOT, "assets", "cache")
 
 # Candidate fast bundles for the trained headline, in speed order.
-# Each is (name, march_overrides applied on top of the flash bundle).
+# Each is (name, flash flag, march_overrides on top of the flash bundle).
 #   flash          — deferred color: ONE feature-grid eval per ray at the
 #                    dominant sample (fastest; approximation documented
 #                    at MarchOptions.deferred_color)
@@ -93,6 +114,21 @@ TRAINED_CANDIDATES = [
     ("flash_featcolor", True, {"deferred_color": False, "feat_color": True}),
     ("baked_sigcolor", False, {}),
 ]
+
+T0 = time.perf_counter()
+
+
+def emit(result: dict, partial: bool = True):
+    """Print the current best-so-far JSON line (the driver parses the
+    LAST line — incremental emission is the r4 rc=124 fix)."""
+    out = dict(result)
+    out["extra"] = dict(out.get("extra", {}))
+    out["extra"]["elapsed_s"] = round(time.perf_counter() - T0, 1)
+    if partial:
+        out["extra"]["partial"] = True
+    else:
+        out["extra"].pop("partial", None)
+    print(json.dumps(out), flush=True)
 
 
 def build_bench_snapshot(path, cfg=None):
@@ -202,6 +238,12 @@ def time_orbit(renderer, n_frames=N_FRAMES, n_warmup=1):
     return n_frames / (time.perf_counter() - t0)
 
 
+def time_leg(renderer, n_frames=N_FRAMES, rounds=N_ROUNDS_AUX):
+    """-> (best fps, per-round list)."""
+    vals = [time_orbit(renderer, n_frames=n_frames) for _ in range(rounds)]
+    return max(vals), vals
+
+
 FLASH_SIG_OVERRIDES = {"lowres_factor": 8, "advance_iters": 24,
                        "vector_rounds": True, "steps_per_round": 16,
                        "chunk": 1 << 11}
@@ -236,32 +278,19 @@ def psnr(a, b):
     return float(10.0 * np.log10(1.0 / mse))
 
 
-def bench_training_throughput():
-    """steps/sec of the native trainer on a synthetic capture dataset
-    (train_chunk dispatch; the train.py contract is 10k steps)."""
-    import bench_scene
-    from nerf_glasses_tpu.config import NGPConfig
-    from nerf_glasses_tpu.train.trainer import TrainOptions, Trainer
+# ---------------------------------------------------------------------------
+# Phase 1: trained content (headline)
+# ---------------------------------------------------------------------------
 
-    ds = bench_scene.build_capture_dataset()
-    opts = TrainOptions(config=NGPConfig.native_fast())
-    tr = Trainer(ds, opts, seed=3)
-    tr.train(48)                       # compile + settle
-    n = 192
-    t0 = time.perf_counter()
-    tr.train(n)
-    dt = time.perf_counter() - t0
-    return n / dt
-
-
-def trained_holdout_and_bundle(quick=False):
+def trained_holdout_and_bundle(n_views: int):
     """Trained-content holdout evaluation + budget-gated bundle pick.
 
-    Renders the held-out views with the exact renderer and each
-    TRAINED_CANDIDATES bundle; picks the FASTEST bundle whose holdout
-    PSNR is within BUDGET_DB of the exact renderer's — that bundle
-    becomes the headline hybrid path. -> (metrics dict, picked name,
-    flash flag, overrides or None if no fast path meets the budget)."""
+    Renders `n_views` held-out views with the exact renderer, then
+    probes TRAINED_CANDIDATES in speed order and picks the FIRST bundle
+    whose holdout PSNR is within BUDGET_DB of the exact renderer's —
+    slower candidates after a pass are never rendered. -> (metrics
+    dict, (name, flash, overrides-or-None), snapshot path, baked
+    Testbed to adopt_bake from)."""
     import bench_scene
     from nerf_glasses_tpu.models.testbed import Testbed
 
@@ -272,6 +301,7 @@ def trained_holdout_and_bundle(quick=False):
             meta = json.load(f)
 
     cams, gts = bench_scene.holdout_ground_truth()
+    cams, gts = cams[:n_views], gts[:n_views]
     tb = Testbed()
     tb.load_snapshot(snap)
     tb.background_color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
@@ -302,12 +332,11 @@ def trained_holdout_and_bundle(quick=False):
             "vs_holdout_db": round(mean_psnr(out, gts), 2),
             "vs_unbaked_db": round(mean_psnr(out, unb), 2),
         }
-        if picked is None and (probed[name]["vs_holdout_db"]
-                               >= psnr_unb - BUDGET_DB):
+        if probed[name]["vs_holdout_db"] >= psnr_unb - BUDGET_DB:
             picked = (name, flash_on, dict(overrides))
+            break                      # speed order: first pass wins
     tb.flash = False
     tb.march_overrides = saved
-    tb.unbake()
 
     if picked is None:
         picked = ("unbaked_exact", False, None)
@@ -320,6 +349,7 @@ def trained_holdout_and_bundle(quick=False):
                              if "train_s" in meta else None),
         "train_final_loss": meta.get("final_loss"),
         "settle_steps": meta.get("settle_steps"),
+        "holdout_views": n_views,
         "psnr_trained_unbaked_vs_holdout_db": round(psnr_unb, 2),
         # the headlined fast path's holdout PSNR (budget-gated)
         "psnr_trained_flash_vs_holdout_db": psnr_fast,
@@ -328,41 +358,87 @@ def trained_holdout_and_bundle(quick=False):
         "headline_bundle": name,
         "bundle_probes": probed,
     }
-    return out, picked, snap
+    return out, picked, snap, tb
 
 
-def main():
-    import jax
-    quick = "--quick" in sys.argv
-    os.makedirs(os.path.join(CACHE, "jaxcache"), exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(CACHE, "jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def phase_trained(result, full: bool):
+    """Headline phase: budget gate + 720p hybrid fps on trained content.
+    Returns the device arrays' owners so the caller can release them."""
+    trained_scene, picked, trained_snap, tb = trained_holdout_and_bundle(
+        n_views=4 if full else 2)
+    bundle_name, bundle_flash, bundle_overrides = picked
+
+    # hybrid on trained content: trained NeRF + glasses mesh (the
+    # paper's product scenario: thin mesh temples occluded by the
+    # head, volume/render.py:245-261)
+    renderer4, nerf4 = make_renderer(trained_snap)
+    nerf4.render_aabb.min = np.array([0.1, 0.1, 0.1], np.float32)
+    nerf4.render_aabb.max = np.array([0.9, 0.9, 0.9], np.float32)
+    # the reference flow cleans stray density clusters before
+    # rendering (render.py optional remove_floaties; essential on a
+    # real capture)
+    renderer4.remove_floaties()
+    cam4 = cam_snapshot(renderer4)
+    frame4_unb = fidelity_frame(renderer4, cam4)
+    if bundle_overrides is not None:
+        nerf4.adopt_bake(tb)           # ONE bake per snapshot
+        nerf4.flash = bundle_flash
+        nerf4.march_overrides = {**nerf4.march_overrides,
+                                 **bundle_overrides}
+    tb.unbake()
+    frame4_fast = fidelity_frame(renderer4, cam4)
+    trained_scene["psnr_trained_hybrid_fast_vs_unbaked_db"] = round(
+        psnr(frame4_fast, frame4_unb), 2)
+
+    fps_head, rounds = time_leg(renderer4, rounds=N_ROUNDS)
+    noise = (max(rounds) / min(rounds)) if len(rounds) > 1 else 1.0
+
+    result.update({
+        "metric": (f"hybrid_720p_fps (TRAINED head NeRF + glasses.gltf, "
+                   f"1 chip, {bundle_name} path, holdout budget "
+                   f"{BUDGET_DB} dB met: "
+                   f"{trained_scene['holdout_budget_met']})"),
+        "value": round(fps_head, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps_head / 30.0, 4),
+    })
+    result["extra"].update({
+        "frame_ms": round(1000.0 / fps_head, 2),
+        "rays_per_sec": int(fps_head * W * H),
+        # the BASELINE target hardware is v5e-8; the march is pure
+        # ray-DP with zero collectives (parallel/sharding.py's
+        # render_hybrid_sharded, equivalence-tested on an 8-device
+        # mesh), so 8 chips scale ~linearly. NAIVE extrapolation —
+        # no 8-chip hardware here.
+        "fps_v5e8_raydp_extrapolated": round(fps_head * 8.0, 1),
+        "timing_noise_max_over_min": round(noise, 3),
+        "timing_rounds": [round(v, 3) for v in rounds],
+        "fps_trained_hybrid_flash": round(fps_head, 3),
+        "trained_hybrid_timing_rounds": [round(v, 3) for v in rounds],
+        "resolution": f"{W}x{H}",
+        "mesh_supersample": 2,
+    })
+    for k, v in trained_scene.items():
+        key = (k if k.startswith(("psnr", "fps", "holdout", "headline",
+                                  "bundle"))
+               else f"trained_scene_{k}")
+        result["extra"][key] = v
+    return renderer4, tb
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: procedural blob ladder
+# ---------------------------------------------------------------------------
+
+def phase_blob(result, full: bool, quick: bool):
+    os.makedirs(CACHE, exist_ok=True)
     snap = os.path.join(CACHE, "bench_head_v2.msgpack")
     if not os.path.exists(snap):
         build_bench_snapshot(snap)
 
     renderer, nerf = make_renderer(snap)
     cam0 = cam_snapshot(renderer)
-
-    renderer2, nerf2 = make_renderer(snap)
-    nerf2.bake(BAKE_RES, feat_resolution=FEAT_RES)
-
-    # ----- blob fidelity frames at the fixed starting camera -----
     frame_unbaked = fidelity_frame(renderer, cam0)
-    frame_baked = fidelity_frame(renderer2, cam0)
-    psnr_bake = psnr(frame_baked, frame_unbaked)
-
-    nerf2.flash = True
-    frame_flash = fidelity_frame(renderer2, cam0)
-    psnr_flash = psnr(frame_flash, frame_unbaked)
-    nerf2.flash = False
-
-    saved_overrides = dict(nerf2.march_overrides)
-    nerf2.march_overrides = {**saved_overrides, **FLASH_SIG_OVERRIDES}
-    frame_fsig = fidelity_frame(renderer2, cam0)
-    psnr_fsig = psnr(frame_fsig, frame_unbaked)
-    nerf2.march_overrides = saved_overrides
 
     # golden gate: pin on first validated run, compare thereafter
     from PIL import Image
@@ -374,201 +450,222 @@ def main():
     else:
         gold = np.asarray(Image.open(GOLDEN), np.float32) / 255.0
         psnr_golden = psnr(frame_unbaked, gold)
+    result["extra"]["psnr_vs_golden_db"] = round(psnr_golden, 2)
 
-    # ----- trained content: holdout budget gate picks the headline path
-    trained_scene = {}
-    renderer4 = None
-    if not quick:
-        trained_scene, picked, trained_snap = trained_holdout_and_bundle()
-        bundle_name, bundle_flash, bundle_overrides = picked
+    nerf.bake(BAKE_RES, feat_resolution=FEAT_RES)
+    nerf.flash = True
+    frame_flash = fidelity_frame(renderer, cam0)
+    psnr_flash = psnr(frame_flash, frame_unbaked)
+    result["extra"]["psnr_blob_flash_vs_unbaked_db"] = round(psnr_flash, 2)
 
-        # hybrid on trained content: trained NeRF + glasses mesh (the
-        # paper's product scenario: thin mesh temples occluded by the
-        # head, volume/render.py:245-261)
-        renderer4, nerf4 = make_renderer(trained_snap)
-        nerf4.render_aabb.min = np.array([0.1, 0.1, 0.1], np.float32)
-        nerf4.render_aabb.max = np.array([0.9, 0.9, 0.9], np.float32)
-        # the reference flow cleans stray density clusters before
-        # rendering (render.py optional remove_floaties; essential on a
-        # real capture)
-        renderer4.remove_floaties()
-        cam4 = cam_snapshot(renderer4)
-        frame4_unb = fidelity_frame(renderer4, cam4)
-        if bundle_overrides is not None:
-            nerf4.bake(BAKE_RES, feat_resolution=FEAT_RES)
-            nerf4.flash = bundle_flash
-            nerf4.march_overrides = {**nerf4.march_overrides,
-                                     **bundle_overrides}
-        frame4_fast = fidelity_frame(renderer4, cam4)
-        trained_scene["psnr_trained_hybrid_fast_vs_unbaked_db"] = round(
-            psnr(frame4_fast, frame4_unb), 2)
+    fps_flash, _ = time_leg(renderer)
+    result["extra"]["fps_blob_flash"] = round(fps_flash, 3)
 
-    # ----- reference-compatible config (tcnn default L=16 F=2 T=2^19):
-    # unbaked AND bake()+flash (the snapshot-compat fast path) -----
-    renderer3 = None
-    ref = {}
-    if not quick:
-        from nerf_glasses_tpu.config import NGPConfig
-        snap_ref = os.path.join(CACHE, "bench_head_ref_v1.msgpack")
-        if not os.path.exists(snap_ref):
-            build_bench_snapshot(snap_ref, NGPConfig())
-        renderer3, nerf3 = make_renderer(snap_ref)
-        cam3 = cam_snapshot(renderer3)
-        frame_ref_unb = fidelity_frame(renderer3, cam3)
-        nerf3.bake(BAKE_RES, feat_resolution=FEAT_RES)
-        nerf3.flash = True
-        frame_ref_flash = fidelity_frame(renderer3, cam3)
-        ref["psnr_ref_flash_vs_unbaked_db"] = round(
-            psnr(frame_ref_flash, frame_ref_unb), 2)
-        nerf3.flash = False
+    if full or quick:
+        nerf.flash = False
+        frame_baked = fidelity_frame(renderer, cam0)
+        result["extra"]["psnr_blob_baked_vs_unbaked_db"] = round(
+            psnr(frame_baked, frame_unbaked), 2)
+        fps_baked, _ = time_leg(renderer)
+        result["extra"]["fps_blob_baked"] = round(fps_baked, 3)
 
-    # ----- multi-cascade (aabb_scale=4) snapshot: the baked-pyramid
-    # fast path must cover the full snapshot contract (the reference
-    # renders any aabb_scale <= 128 at full speed, testbed.cu:1027-1118)
-    renderer5 = None
-    mc = {}
-    if not quick:
-        from nerf_glasses_tpu.config import NGPConfig
-        snap_mc = os.path.join(CACHE, "bench_head_mc4_v1.msgpack")
-        if not os.path.exists(snap_mc):
-            build_bench_snapshot(snap_mc,
-                                 NGPConfig.native_fast(aabb_scale=4))
-        renderer5, nerf5 = make_renderer(snap_mc)
-        # march the full 4-cube so outer cascades are on the ray path
-        nerf5.render_aabb.min = np.array([-1.5] * 3, np.float32)
-        nerf5.render_aabb.max = np.array([2.5] * 3, np.float32)
-        cam5 = cam_snapshot(renderer5)
-        frame_mc_unb = fidelity_frame(renderer5, cam5)
-        nerf5.bake(MC_BAKE_RES)
-        nerf5.flash = True          # multicascade: baked pyramid +
-        mc_packed = nerf5._baked_sigma       # deferred shade bundle
-        frame_mc_fast = fidelity_frame(renderer5, cam5)
-        mc["psnr_multicascade_fast_vs_unbaked_db"] = round(
-            psnr(frame_mc_fast, frame_mc_unb), 2)
-        mc["multicascade_bake_res"] = MC_BAKE_RES
+        saved = dict(nerf.march_overrides)
+        nerf.march_overrides = {**saved, **FLASH_SIG_OVERRIDES}
+        frame_fsig = fidelity_frame(renderer, cam0)
+        result["extra"]["psnr_blob_flash_sigcolor_vs_unbaked_db"] = round(
+            psnr(frame_fsig, frame_unbaked), 2)
+        fps_fsig, _ = time_leg(renderer)
+        result["extra"]["fps_blob_flash_sigcolor"] = round(fps_fsig, 3)
+        nerf.march_overrides = saved
+        nerf.flash = True
 
-        def set_mc_baked(on):
-            nerf5.flash = on
-            nerf5._baked_sigma = mc_packed if on else None
+    nerf.unbake()
+    nerf.flash = False
+    fps_unb, _ = time_leg(renderer, n_frames=N_FRAMES_SLOW, rounds=1)
+    result["extra"]["fps_blob_unbaked"] = round(fps_unb, 3)
 
-    # ----- interleaved timing rounds over ALL legs -----
-    def set_flash(n):
-        def f(on):
-            n.flash = on
-        return f
-
-    def set_fsig(on):
-        nerf2.march_overrides = (
-            {**saved_overrides, **FLASH_SIG_OVERRIDES} if on
-            else saved_overrides)
-
-    # (name, renderer, toggle, frames_per_round)
-    legs = [
-        ("unbaked", renderer, lambda on: None, N_FRAMES_SLOW),
-        ("baked", renderer2, lambda on: None, N_FRAMES),
-        ("flash", renderer2, set_flash(nerf2), N_FRAMES),
-        ("flash_sigcolor", renderer2, set_fsig, N_FRAMES),
-    ]
-    if renderer4 is not None:
-        legs.append(("trained_hybrid_fast", renderer4, lambda on: None,
-                     N_FRAMES))
-    if renderer3 is not None:
-        legs.append(("ref_config_unbaked", renderer3, lambda on: None,
-                     N_FRAMES_SLOW))
-        legs.append(("ref_config_flash", renderer3, set_flash(nerf3),
-                     N_FRAMES))
-    if renderer5 is not None:
-        legs.append(("multicascade_baked", renderer5, set_mc_baked,
-                     N_FRAMES))
-
-    fps_rounds = {name: [] for name, _, _, _ in legs}
-    for _ in range(1 if quick else N_ROUNDS):
-        for name, rend, toggle, nf in legs:
-            toggle(True)
-            fps_rounds[name].append(time_orbit(rend, n_frames=nf))
-            toggle(False)
-    fps = {name: max(v) for name, v in fps_rounds.items()}
-    if renderer3 is not None:
-        ref["fps_ref_config_L16_T19"] = round(fps["ref_config_unbaked"], 3)
-        ref["fps_ref_config_flash"] = round(fps["ref_config_flash"], 3)
-
-    # ----- training throughput -----
-    train_metrics = {}
-    if not quick:
-        sps = bench_training_throughput()
-        train_metrics = {
-            "train_steps_per_sec": round(sps, 2),
-            "train_10k_steps_projected_min": round(10000.0 / sps / 60.0, 2),
-        }
-
-    # ----- headline -----
-    if renderer4 is not None:
-        # trained content, fastest path that met the 0.5 dB holdout
-        # budget (trained_holdout_and_bundle)
-        head_leg = "trained_hybrid_fast"
-        head_name = trained_scene["headline_bundle"]
-        metric = (f"hybrid_720p_fps (TRAINED head NeRF + glasses.gltf, "
-                  f"1 chip, {head_name} path, holdout budget "
-                  f"{BUDGET_DB} dB met: "
-                  f"{trained_scene['holdout_budget_met']})")
-    else:
-        # --quick: blob ladder, 35 dB smoke gate
-        candidates = [("flash", fps["flash"], psnr_flash),
-                      ("flash_sigcolor", fps["flash_sigcolor"], psnr_fsig),
-                      ("baked", fps["baked"], psnr_bake),
-                      ("unbaked", fps["unbaked"], 99.0)]
-        head_leg, _, _ = max(
+    if quick:
+        # --quick headline: fastest blob path within the 35 dB smoke gate
+        candidates = [("flash", fps_flash, psnr_flash)]
+        if "fps_blob_baked" in result["extra"]:
+            candidates += [
+                ("baked", result["extra"]["fps_blob_baked"],
+                 result["extra"]["psnr_blob_baked_vs_unbaked_db"]),
+                ("flash_sigcolor", result["extra"]["fps_blob_flash_sigcolor"],
+                 result["extra"]["psnr_blob_flash_sigcolor_vs_unbaked_db"]),
+            ]
+        candidates.append(("unbaked", fps_unb, 99.0))
+        head, fps_head, _ = max(
             (c for c in candidates if c[2] >= 35.0), key=lambda c: c[1])
-        metric = (f"hybrid_720p_fps (blob head NeRF + glasses.gltf, "
-                  f"1 chip, {head_leg} path)")
-    fps_head = fps[head_leg]
-    rounds = fps_rounds[head_leg]
-    noise = (max(rounds) / min(rounds)) if len(rounds) > 1 else 1.0
-
-    result = {
-        "metric": metric,
-        "value": round(fps_head, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps_head / 30.0, 4),
-        "extra": {
+        result.update({
+            "metric": (f"hybrid_720p_fps (blob head NeRF + glasses.gltf, "
+                       f"1 chip, {head} path)"),
+            "value": round(fps_head, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps_head / 30.0, 4),
+        })
+        result["extra"].update({
             "frame_ms": round(1000.0 / fps_head, 2),
-            "rays_per_sec": int(fps_head * W * H),
-            # the BASELINE target hardware is v5e-8; the march is pure
-            # ray-DP with zero collectives (parallel/sharding.py's
-            # render_hybrid_sharded, equivalence-tested on an 8-device
-            # mesh), so 8 chips scale ~linearly. NAIVE extrapolation —
-            # no 8-chip hardware here.
-            "fps_v5e8_raydp_extrapolated": round(fps_head * 8.0, 1),
-            "timing_noise_max_over_min": round(noise, 3),
-            "timing_rounds": [round(v, 3) for v in rounds],
-            "fps_blob_unbaked": round(fps["unbaked"], 3),
-            "fps_blob_baked": round(fps["baked"], 3),
-            "fps_blob_flash": round(fps["flash"], 3),
-            "fps_blob_flash_sigcolor": round(fps["flash_sigcolor"], 3),
-            **({"fps_trained_hybrid_flash": round(
-                    fps["trained_hybrid_fast"], 3),
-                "trained_hybrid_timing_rounds": [
-                    round(v, 3) for v in fps_rounds["trained_hybrid_fast"]]}
-               if renderer4 is not None else {}),
-            **({"fps_multicascade_baked": round(
-                    fps["multicascade_baked"], 3), **mc}
-               if renderer5 is not None else {}),
-            "psnr_blob_baked_vs_unbaked_db": round(psnr_bake, 2),
-            "psnr_blob_flash_vs_unbaked_db": round(psnr_flash, 2),
-            "psnr_blob_flash_sigcolor_vs_unbaked_db": round(psnr_fsig, 2),
-            "psnr_vs_golden_db": round(psnr_golden, 2),
-            **ref,
-            **train_metrics,
-            **{f"trained_scene_{k}" if not k.startswith(("psnr", "fps",
-                                                         "holdout",
-                                                         "headline",
-                                                         "bundle"))
-               else k: v for k, v in trained_scene.items()},
             "resolution": f"{W}x{H}",
             "mesh_supersample": 2,
-        },
-    }
-    print(json.dumps(result))
+        })
+    return renderer
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: reference-compatible config
+# ---------------------------------------------------------------------------
+
+def phase_ref_config(result):
+    from nerf_glasses_tpu.config import NGPConfig
+    snap_ref = os.path.join(CACHE, "bench_head_ref_v1.msgpack")
+    if not os.path.exists(snap_ref):
+        build_bench_snapshot(snap_ref, NGPConfig())
+    renderer3, nerf3 = make_renderer(snap_ref)
+    cam3 = cam_snapshot(renderer3)
+    frame_ref_unb = fidelity_frame(renderer3, cam3)
+    fps_unb, _ = time_leg(renderer3, n_frames=N_FRAMES_SLOW, rounds=1)
+    nerf3.bake(BAKE_RES, feat_resolution=FEAT_RES)
+    nerf3.flash = True
+    frame_ref_flash = fidelity_frame(renderer3, cam3)
+    result["extra"]["psnr_ref_flash_vs_unbaked_db"] = round(
+        psnr(frame_ref_flash, frame_ref_unb), 2)
+    fps_flash, _ = time_leg(renderer3)
+    result["extra"]["fps_ref_config_L16_T19"] = round(fps_unb, 3)
+    result["extra"]["fps_ref_config_flash"] = round(fps_flash, 3)
+    return renderer3
+
+
+# ---------------------------------------------------------------------------
+# Phase 4: multi-cascade snapshot
+# ---------------------------------------------------------------------------
+
+def phase_multicascade(result):
+    from nerf_glasses_tpu.config import NGPConfig
+    snap_mc = os.path.join(CACHE, "bench_head_mc4_v1.msgpack")
+    if not os.path.exists(snap_mc):
+        build_bench_snapshot(snap_mc, NGPConfig.native_fast(aabb_scale=4))
+    renderer5, nerf5 = make_renderer(snap_mc)
+    # march the full 4-cube so outer cascades are on the ray path
+    nerf5.render_aabb.min = np.array([-1.5] * 3, np.float32)
+    nerf5.render_aabb.max = np.array([2.5] * 3, np.float32)
+    cam5 = cam_snapshot(renderer5)
+    frame_mc_unb = fidelity_frame(renderer5, cam5)
+    nerf5.bake(MC_BAKE_RES)
+    nerf5.flash = True          # multicascade: baked pyramid +
+    frame_mc_fast = fidelity_frame(renderer5, cam5)  # deferred shade
+    result["extra"]["psnr_multicascade_fast_vs_unbaked_db"] = round(
+        psnr(frame_mc_fast, frame_mc_unb), 2)
+    result["extra"]["multicascade_bake_res"] = MC_BAKE_RES
+    fps_mc, _ = time_leg(renderer5)
+    result["extra"]["fps_multicascade_baked"] = round(fps_mc, 3)
+    return renderer5
+
+
+# ---------------------------------------------------------------------------
+# Phase 5: training throughput
+# ---------------------------------------------------------------------------
+
+def phase_training(result):
+    """steps/sec of the native trainer on the capture dataset
+    (train_chunk dispatch; the train.py contract is 10k steps).
+
+    Two regimes, both with the DEFAULT TrainOptions:
+      - from scratch (320 settle + 192 timed): the early/carving regime
+        every run pays first — comparable with the r3/r4 recorded
+        numbers;
+      - resumed from the trained snapshot (Trainer.load_snapshot): the
+        converged regime where the adaptive compaction gate is open —
+        the rate the bulk of a 10k-step contract runs at.
+    The 10k projection charges the scratch rate until the gate-opening
+    step observed in the resumed probe's gate state (or the whole run
+    when compaction is off)."""
+    import bench_scene
+    from nerf_glasses_tpu.config import NGPConfig
+    from nerf_glasses_tpu.train.trainer import TrainOptions, Trainer
+
+    ds = bench_scene.build_capture_dataset()
+    opts = TrainOptions(config=NGPConfig.native_fast())
+    n = 192
+
+    tr = Trainer(ds, opts, seed=3)
+    tr.train(320)                      # compile + settle past warmup
+    t0 = time.perf_counter()
+    tr.train(n)
+    sps = n / (time.perf_counter() - t0)
+    result["extra"]["train_steps_per_sec"] = round(sps, 2)
+
+    sps_settled = sps
+    if opts.compact_keep_fraction > 0.0:
+        tr2 = Trainer(ds, opts, seed=3)
+        tr2.load_snapshot(bench_scene.get_trained_snapshot(CACHE))
+        tr2.train(64)                  # compile post-gate variant
+        t0 = time.perf_counter()
+        tr2.train(n)
+        sps_settled = n / (time.perf_counter() - t0)
+        result["extra"]["train_steps_per_sec_settled"] = round(
+            sps_settled, 2)
+        result["extra"]["train_compaction_active"] = tr2._compact_ready
+
+    # 10k projection: scratch rate until the adaptive gate opens
+    # (measured 1568 on this scene, tools/ab_compaction.py), settled
+    # rate beyond
+    gate = 1568 if sps_settled != sps else 10000
+    proj_s = min(gate, 10000) / sps + max(10000 - gate, 0) / sps_settled
+    result["extra"]["train_10k_steps_projected_min"] = round(
+        proj_s / 60.0, 2)
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    import jax
+    quick = "--quick" in sys.argv
+    full = "--full" in sys.argv
+    # Persistent compile cache: the axon tunnel compiles big march
+    # graphs in 100-700 s EACH — a cold cache alone can blow the
+    # driver's ~30-min bench budget (BENCH_r04 rc=124). The driver runs
+    # bench.py in this working tree (BENCH_r0N.json `cmd`), so the
+    # gitignored cache dir persists across rounds and the driver run is
+    # warm; a fresh clone pays the compiles once, bounded by the
+    # incremental emission above. Override with NMR_JAXCACHE.
+    cache_dir = os.environ.get(
+        "NMR_JAXCACHE", os.path.join(CACHE, "jaxcache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    result = {"metric": "hybrid_720p_fps", "value": 0.0, "unit": "fps",
+              "vs_baseline": 0.0, "extra": {}}
+
+    if quick:
+        phase_blob(result, full, quick=True)
+        emit(result, partial=False)
+        return
+
+    # Phase 1: HEADLINE (trained content) — first JSON line lands here
+    renderer4, tb = phase_trained(result, full)
+    emit(result)
+    del renderer4, tb                  # release baked tables (HBM)
+
+    # Phase 2: blob ladder + golden pin
+    renderer = phase_blob(result, full, quick=False)
+    emit(result)
+    del renderer
+
+    # Phase 3: reference-compatible config
+    renderer3 = phase_ref_config(result)
+    emit(result)
+    del renderer3
+
+    # Phase 4: multi-cascade
+    renderer5 = phase_multicascade(result)
+    emit(result)
+    del renderer5
+
+    # Phase 5: training throughput
+    phase_training(result)
+    emit(result, partial=False)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,9 @@ import numpy as np
 
 from nerf_glasses_tpu.utils.camera import V_LENGTH_QUIRK, look_to, pack_camera
 
-SCENE_VERSION = 5   # v5: trained under the 48-samples/ray default
+SCENE_VERSION = 6   # v6: density grid stores optical thickness (the
+                    # upstream scale; v5 grids were raw sigma, ~600x
+                    # hotter than the 0.01 occupancy threshold expects)
 W = H = 400
 N_TRAIN = 24
 N_HOLDOUT = 4

@@ -846,7 +846,17 @@ def _update_density_grid_body(state, opts: TrainOptions,
     grid = state["density_grid"] * opts.density_grid_decay
     flat_idx = (((casc * G + cell[:, 2]) * G + cell[:, 1]) * G + cell[:, 0])
     flat = grid.reshape(-1)
-    flat = flat.at[flat_idx].max(sigma)
+    # Grid values are OPTICAL THICKNESS (sigma * MIN_CONE_STEPSIZE), the
+    # upstream convention NERF_MIN_OPTICAL_THICKNESS=0.01 thresholds
+    # against (testbed.cu:110-113,158) and the scale snapshots carry.
+    # Storing raw sigma here (pre-r5 bug) made build_occupancy's 0.01
+    # threshold ~600x too permissive — the bitfield kept every faint fog
+    # cell (slower march AND slower training) — and broke the
+    # compaction transmittance estimate catastrophically (every occupied
+    # cell looked opaque -> only pre-surface samples kept -> a converged
+    # model DEGRADED to 14 dB when compaction engaged,
+    # tools/ab_compaction.py r5 logs).
+    flat = flat.at[flat_idx].max(sigma * C.MIN_CONE_STEPSIZE)
     grid = flat.reshape(grid.shape)
 
     occ = (occ_ops.build_occupancy(grid, cfg.max_cascade)

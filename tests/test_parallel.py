@@ -186,9 +186,14 @@ def test_sharded_trainer_compaction_warmup_gate():
     tr.occ_warmup_steps = 16
 
     # the warmup variant must be a distinct compiled fn with compaction
-    # off; past warmup the real (compacting) variant takes over
+    # off; once past warmup AND the adaptive occupied-fraction gate
+    # (TrainOptions.compact_occ_frac_gate) the compacting variant takes
+    # over
     assert tr._fns_for(0) == (tr._chunk_fn_warmup, tr._step_fn_warmup)
+    tr._compact_ready = True
     assert tr._fns_for(tr.occ_warmup_steps) == (tr._chunk_fn, tr._step_fn)
+    assert tr._fns_for(0) == (tr._chunk_fn_warmup, tr._step_fn_warmup)
+    tr._compact_ready = False
     assert tr._chunk_fn_warmup is not tr._chunk_fn
 
     losses_early = [tr.train(1) for _ in range(4)]   # inside warmup
