@@ -447,43 +447,67 @@ def _get_tiled_fn(mesh: MeshArrays, width: int, height: int, wp: int,
             t, tri, uu, vv = raycast_pallas_tiled(tri_scalars, o_t, d_t,
                                                   lists, counts)
 
-            # Shade compacted hits and scatter them STRAIGHT into the
-            # FxF-reduced payload buffers (mean color via masked
-            # scatter-add of srgb/F^2, max depth via scatter-max,
-            # coverage via scatter-add of 1/F^2). Misses never touch a
-            # full-supersample color/depth buffer — at 2x-supersampled
-            # 720p that buffer alone was ~75 MB of HBM round trip plus
-            # an sRGB encode of 3.7M rays at <5% hit rate (the reduce +
-            # post-ops measured ~10 ms of a 41 ms pass on v5e).
-            nrays = o_t.shape[0]
-            perm, n_hit = stable_partition_ids(tri >= 0)
-
+            # Shade at TILE granularity: partition the ~hundreds of
+            # tiles by "any hit" (trivial), then shade whole hit tiles
+            # densely — misses inside a hit tile are masked — and
+            # FxF-reduce in registers with a direct per-tile store.
+            # This replaced the r3 ray-granular design (a 3.7M-ray
+            # stable partition + per-ray scatter-add) whose partition/
+            # compact/scatter bookkeeping measured ~14 ms of the
+            # 29.4 ms pass at 2x-supersampled 720p; the per-ray
+            # layout-index math and the 3.7M-int32 perm round trip were
+            # the cost, not the shading (hit tiles are <6% of tiles on
+            # the glasses scene, so dense tile shading stays small).
+            # Misses still never touch a full-supersample buffer.
+            pix = TILE_H * TILE_W
+            n_tiles = nty * ntx
             th, tw = TILE_H // factor, TILE_W // factor
-            CH = min(1 << 15, nrays)
-            n_chunks = (n_hit + CH - 1) // CH
+            t4 = t.reshape(n_tiles, pix)
+            tri4 = tri.reshape(n_tiles, pix)
+            uu4 = uu.reshape(n_tiles, pix)
+            vv4 = vv.reshape(n_tiles, pix)
+            d4 = d_t.reshape(n_tiles, pix, 3)
+            tile_hit = jnp.any(tri4 >= 0, axis=1)
+            perm_t, n_t = stable_partition_ids(tile_hit)
+            K = 4                               # tiles/chunk (32k rays)
+            # pad so the last dynamic_slice never clamps (a clamped
+            # slice would re-shade tiles -> double-counted scatter-add)
+            perm_pad = jnp.concatenate(
+                [perm_t, jnp.zeros((K,), perm_t.dtype)])
+            n_chunks = (n_t + K - 1) // K
             inv_ff = 1.0 / float(factor * factor)
-            color0 = jnp.zeros((nty * ntx * th * tw, 4))
-            depth0 = jnp.zeros((nty * ntx * th * tw,))
+            color0 = jnp.zeros((n_tiles, th, tw, 4))
+            depth0 = jnp.zeros((n_tiles, th, tw))
 
             def body(i, carry):
                 ca, dm = carry
-                idx = jax.lax.dynamic_slice(perm, (i * CH,), (CH,))
-                valid = tri[idx] >= 0
-                uv_c = jnp.stack([uu[idx], vv[idx]], axis=-1)
-                rgb_c = shade_hits(mesh, o_t[idx], d_t[idx], t[idx],
-                                   tri[idx], uv_c, nrm_mats, light, eye)
+                tidx = jax.lax.dynamic_slice(perm_pad, (i * K,), (K,))
+                # lanes past n_t are padding: mask their rays invalid
+                # (their zero contribs then land harmlessly on tile 0)
+                lane_ok = (i * K + jnp.arange(K, dtype=n_t.dtype)) < n_t
+                tidx = jnp.where(lane_ok, tidx, 0)
+                tt = t4[tidx].reshape(K * pix)
+                trit = tri4[tidx].reshape(K * pix)
+                valid = (trit >= 0) & jnp.repeat(lane_ok, pix)
+                uv_c = jnp.stack([uu4[tidx].reshape(-1),
+                                  vv4[tidx].reshape(-1)], axis=-1)
+                d_c = d4[tidx].reshape(K * pix, 3)
+                o_c = jnp.broadcast_to(eye, d_c.shape)
+                rgb_c = shade_hits(mesh, o_c, d_c, tt, trit, uv_c,
+                                   nrm_mats, light, eye)
                 srgb = linear_to_srgb(jnp.clip(rgb_c, 0.0, 1.0))
-                # tile-major ray id -> reduced-buffer id
-                x = idx % TILE_W
-                y = (idx // TILE_W) % TILE_H
-                tile = idx // (TILE_W * TILE_H)
-                ridx = (tile * th + y // factor) * tw + x // factor
                 contrib = jnp.where(
                     valid[:, None],
-                    jnp.concatenate([srgb, jnp.ones((CH, 1))], -1)
+                    jnp.concatenate([srgb, jnp.ones((K * pix, 1))], -1)
                     * inv_ff, 0.0)
-                ca = ca.at[ridx].add(contrib)
-                dm = dm.at[ridx].max(jnp.where(valid, t[idx], 0.0))
+                # FxF block reduce inside the tile, then one store/tile
+                red = (contrib.reshape(K, th, factor, tw, factor, 4)
+                       .sum(axis=(2, 4)))
+                dmax = (jnp.where(valid, tt, 0.0)
+                        .reshape(K, th, factor, tw, factor)
+                        .max(axis=(2, 4)))
+                ca = ca.at[tidx].add(red)
+                dm = dm.at[tidx].max(dmax)
                 return ca, dm
 
             color, depth = jax.lax.fori_loop(0, n_chunks, body,
