@@ -497,25 +497,37 @@ def compact_sample_sel(state, data, img, px, py, samples,
 
     -> (sel (BUCKET,) int32 flat sample ids, keep (S, B) bool). See
     TrainOptions.compact_keep_fraction. Alpha for the transmittance
-    estimate comes from the cached density grid: state["density_grid"]
-    stores optical thickness (density * MIN_CONE_STEPSIZE, the
-    update_density_grid convention), gathered at each sample's
-    governing mip exactly like occupancy.occupied_at."""
+    estimate comes from a density-only forward pass of the LIVE network
+    (stop-grad hash encode + density MLP — no SH, no color MLP), so the
+    keep prefix is exactly the set of samples the dense composite would
+    weight above compact_T_eps; dropping the rest changes the pixel by
+    < T_eps. This mirrors upstream, which culls training samples with
+    the true composited transmittance during the train-time march.
+
+    An earlier design estimated T from the cached density grid instead.
+    The grid stores the EMA'd cell MAX, which overestimates opacity
+    along most rays: measured on the settled capture scene
+    (tools/probe_compact_keep.py), the grid prefix silently cut ~500
+    true pre-opaque samples per batch across ~5% of rays — each such
+    ray trains against a composite missing its real surface — and the
+    poison compounds to a 14 dB holdout collapse
+    (tools/ab_compaction.py r5: 24.97 dB vs 38.89 dense)."""
     from nerf_glasses_tpu.ops.compaction import stable_partition_ids
+    from nerf_glasses_tpu.ops.network import density_raw
 
     S, B = samples["dt"].shape
-    G = C.NERF_GRIDSIZE
     o0, d0 = _gen_rays(data, img, px, py,
                        jax.lax.stop_gradient(state["aux"]),
                        opts.apply_lens_distortion)
     pos = o0[None] + d0[None] * samples["t"][..., None]      # (S, B, 3)
-    mip = occ_ops.mip_from_dt(samples["dt"], pos, opts.config.max_cascade)
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
-    q = (pos - 0.5) * mip_scale[..., None] + 0.5
-    ci = jnp.clip(jnp.trunc(q * G).astype(jnp.int32), 0, G - 1)
-    flat = (((mip * G + ci[..., 2]) * G + ci[..., 1]) * G + ci[..., 0])
-    gv = jnp.take(state["density_grid"].reshape(-1), flat, mode="clip")
-    sigma = jnp.maximum(gv, 0.0) * (1.0 / C.MIN_CONE_STEPSIZE)
+    extent = state["aabb_max"] - state["aabb_min"]
+    pos01 = (pos - state["aabb_min"]) / extent
+    pos01 = jnp.where(samples["valid"][..., None], pos01, 0.5)
+    raw = density_raw(jax.lax.stop_gradient(state["params"]),
+                      pos01.reshape(-1, 3), opts.config,
+                      compute_dtype=opts.cdtype)[:, 0]
+    sigma = apply_density_activation(raw.reshape(S, B),
+                                     opts.config.density_activation)
     alpha = jnp.where(samples["valid"],
                       1.0 - jnp.exp(-sigma * samples["dt"]), 0.0)
     T_ex = jnp.concatenate(
