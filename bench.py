@@ -608,9 +608,9 @@ def phase_training(result):
         result["extra"]["train_compaction_active"] = tr2._compact_ready
 
     # 10k projection: scratch rate until the adaptive gate opens
-    # (measured 1568 on this scene, tools/ab_compaction.py), settled
+    # (measured 768 on this scene, tools/ab_compaction.py r5), settled
     # rate beyond
-    gate = 1568 if sps_settled != sps else 10000
+    gate = 768 if sps_settled != sps else 10000
     proj_s = min(gate, 10000) / sps + max(10000 - gate, 0) / sps_settled
     result["extra"]["train_10k_steps_projected_min"] = round(
         proj_s / 60.0, 2)

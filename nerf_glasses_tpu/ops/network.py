@@ -42,31 +42,45 @@ def init_params(key, config: NGPConfig, dtype=jnp.float32) -> Params:
 
 
 def density_raw_soa(params: Params, px, py, pz, config: NGPConfig,
-                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """px/py/pz (N,) components in [0,1] -> density MLP output (N, 16)."""
+                    compute_dtype=jnp.bfloat16,
+                    encode_dtype=jnp.float32) -> jnp.ndarray:
+    """px/py/pz (N,) components in [0,1] -> density MLP output (N, 16).
+
+    encode_dtype is the hash encode's trilinear-sum dtype. It defaults
+    to float32 for exactness-sensitive callers (render fidelity
+    probes); the TRAINER passes bfloat16 (TrainOptions.encode_dtype) —
+    the f32 weighted sum over (N, 8, W) gathered rows measured as
+    ~half of density_fwd on v5e (tools/profile_step_split.py: 94 ms
+    density_fwd vs 47 ms bf16 encode at the training batch shape), and
+    tcnn's hash tables are natively fp16, so bf16 interpolation is the
+    reference's own precision class."""
     enc = hash_encode_soa(params["grid"], px, py, pz, config,
-                          compute_dtype=jnp.float32)
+                          compute_dtype=encode_dtype)
     return mlp_apply(enc, params["density_mlp"], compute_dtype=compute_dtype)
 
 
 def density_raw(params: Params, pos01: jnp.ndarray, config: NGPConfig,
-                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                compute_dtype=jnp.bfloat16,
+                encode_dtype=jnp.float32) -> jnp.ndarray:
     """pos01 (N,3) in [0,1] -> density MLP output (N, 16); sigma = [:, 0].
 
     Matches NerfNetwork::density (nerf_network.cuh:266-282).
     """
     return density_raw_soa(params, pos01[..., 0], pos01[..., 1],
-                           pos01[..., 2], config, compute_dtype)
+                           pos01[..., 2], config, compute_dtype,
+                           encode_dtype)
 
 
 def apply_network_soa(params: Params, px, py, pz, dx, dy, dz,
                       config: NGPConfig, compute_dtype=jnp.bfloat16,
-                      extra: jnp.ndarray = None
+                      extra: jnp.ndarray = None,
+                      encode_dtype=jnp.float32
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Component-array variant of apply_network (SoA TPU hot path):
     px/py/pz (N,) in [0,1], dx/dy/dz (N,) warped directions in [0,1]
     -> (rgb_raw (N,3), sigma_raw (N,))."""
-    d_out = density_raw_soa(params, px, py, pz, config, compute_dtype)
+    d_out = density_raw_soa(params, px, py, pz, config, compute_dtype,
+                            encode_dtype)
     rgb_out = _rgb_head(params, d_out, dx, dy, dz, config, compute_dtype,
                         extra)
     return rgb_out[..., :3].astype(jnp.float32), d_out[..., 0].astype(jnp.float32)
@@ -107,7 +121,7 @@ def rgb_from_features(params: Params, feat: jnp.ndarray, dir01: jnp.ndarray,
 
 def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
                   config: NGPConfig, compute_dtype=jnp.bfloat16,
-                  extra: jnp.ndarray = None
+                  extra: jnp.ndarray = None, encode_dtype=jnp.float32
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rgb_raw (N,3), sigma_raw (N,)), both pre-activation fp32.
 
@@ -119,7 +133,7 @@ def apply_network(params: Params, pos01: jnp.ndarray, dir01: jnp.ndarray,
     return apply_network_soa(
         params, pos01[..., 0], pos01[..., 1], pos01[..., 2],
         dir01[..., 0], dir01[..., 1], dir01[..., 2], config,
-        compute_dtype, extra)
+        compute_dtype, extra, encode_dtype)
 
 
 # ---------------------------------------------------------------------------

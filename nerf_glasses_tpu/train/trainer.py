@@ -79,6 +79,16 @@ class TrainOptions:
     grid_samples_per_update: int = 1 << 18
     cone_angle: float = 0.0
     compute_dtype: str = "bfloat16"
+    # hash-encode trilinear-sum dtype for TRAINING network evals. The
+    # f32 weighted sum over the gathered (N, 8, W) rows measured as
+    # half of density_fwd on v5e (tools/profile_step_split.py); tcnn's
+    # hash tables are natively fp16, so bf16 interpolation is the
+    # reference's own precision class. Render paths keep f32 (their
+    # encode cost is already off the flash frame entirely). r5 on-chip
+    # A/B (tools/ab_encode_dtype.py, same-run, compaction on both):
+    # settled 11.55 vs 7.62 steps/s (+52%), holdout 38.84 vs 38.80 dB
+    # — bf16 is strictly better on this scene.
+    encode_dtype: str = "bfloat16"
     # iterative OpenCV undistortion of training rays (set automatically
     # when the dataset carries k1/k2/p1/p2; upstream's
     # iterative_opencv_lens_undistortion, stubbed in the reference at
@@ -138,9 +148,11 @@ class TrainOptions:
     # Transmittance-prefix sample compaction: run the full network (and
     # its hash-table gradient scatter, the dominant step cost) only on
     # samples whose exclusive transmittance exceeds compact_T_eps.
-    # Transmittance is ESTIMATED from the cached density grid (the EMA
-    # field the occupancy bitfield is thresholded from) at one gather
-    # per sample — no network. Since T is monotone along the ray the
+    # Transmittance is estimated by a density-only stop-grad forward
+    # pass of the LIVE network (compact_sample_sel; a cheaper
+    # density-grid estimate silently dropped true pre-opaque samples
+    # and collapsed holdout by 14 dB — see compact_sample_sel's
+    # docstring). Since T is monotone along the ray the
     # kept set is a per-ray PREFIX: empty-space samples in front keep
     # their carving gradients; only the ~zero-weight suffix behind the
     # surface drops (the same early-out the render composite applies at
@@ -150,7 +162,11 @@ class TrainOptions:
     # slots (rounded up to 2048); an overflowing step drops its deepest
     # samples. 0 = off. The Trainer disables compaction during occupancy
     # warmup (dense grid -> everything kept -> certain overflow).
-    compact_keep_fraction: float = 0.0
+    # Default ON at 1/3: r5 on-chip A/B (tools/ab_compaction.py) —
+    # settled 7.62 vs 6.63 steps/s dense (+15%), holdout 38.80 vs
+    # 38.89 dB (-0.09), contract wall 81.3 vs 93.8 s, gate open by
+    # step 768 on the capture scene.
+    compact_keep_fraction: float = 1.0 / 3.0
     compact_T_eps: float = 1e-5
     # Adaptive compaction gate: compaction additionally stays off until
     # the occupancy grid's occupied fraction falls below this value.
@@ -161,12 +177,18 @@ class TrainOptions:
     # the fog — so training plateaus at fog (holdout 20.1 dB vs 38.8
     # dense). Once the grid has carved (the capture scene converges to
     # ~6% occupied), the transmittance-prefix keep set fits the bucket
-    # and compaction is loss-neutral at ~2.4x the step rate.
+    # and compaction is loss-neutral at the measured +15% step rate
+    # (the live-network T estimate pays the full-batch hash gather, so
+    # the lever caps well below the 2.4x the unsafe grid estimate got).
     compact_occ_frac_gate: float = 0.2
 
     @property
     def cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def edtype(self):
+        return jnp.bfloat16 if self.encode_dtype == "bfloat16" else jnp.float32
 
 
 def adam_init(params):
@@ -525,7 +547,8 @@ def compact_sample_sel(state, data, img, px, py, samples,
     pos01 = jnp.where(samples["valid"][..., None], pos01, 0.5)
     raw = density_raw(jax.lax.stop_gradient(state["params"]),
                       pos01.reshape(-1, 3), opts.config,
-                      compute_dtype=opts.cdtype)[:, 0]
+                      compute_dtype=opts.cdtype,
+                      encode_dtype=opts.edtype)[:, 0]
     sigma = apply_density_activation(raw.reshape(S, B),
                                      opts.config.density_activation)
     alpha = jnp.where(samples["valid"],
@@ -565,7 +588,8 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
         rgb_c, sigma_c = apply_network(
             params, pos01.reshape(-1, 3)[sel], dir01_k.reshape(-1, 3)[sel],
             cfg, compute_dtype=opts.cdtype,
-            extra=None if extra is None else extra[sel])
+            extra=None if extra is None else extra[sel],
+            encode_dtype=opts.edtype)
         n = S * B
         sigma_raw = jnp.zeros((n,), sigma_c.dtype).at[sel].set(sigma_c)
         rgb_raw = jnp.zeros((n, 3), rgb_c.dtype).at[sel].set(rgb_c)
@@ -575,7 +599,8 @@ def forward_rays(params, samples, o, d, bg, opts: TrainOptions,
     else:
         rgb_raw, sigma_raw = apply_network(
             params, pos01.reshape(-1, 3), dir01_k.reshape(-1, 3), cfg,
-            compute_dtype=opts.cdtype, extra=extra)
+            compute_dtype=opts.cdtype, extra=extra,
+            encode_dtype=opts.edtype)
     rgb = apply_rgb_activation(rgb_raw.reshape(S, B, 3), cfg.rgb_activation)
     sigma = apply_density_activation(sigma_raw.reshape(S, B),
                                      cfg.density_activation)
@@ -852,7 +877,8 @@ def _update_density_grid_body(state, opts: TrainOptions,
     extent = state["aabb_max"] - state["aabb_min"]
     pos01 = jnp.clip((pos - state["aabb_min"]) / extent, 0.0, 1.0)
     sigma_raw = density_raw(state["params"], pos01, cfg,
-                            compute_dtype=opts.cdtype)[:, 0]
+                            compute_dtype=opts.cdtype,
+                            encode_dtype=opts.edtype)[:, 0]
     sigma = apply_density_activation(sigma_raw, cfg.density_activation)
 
     grid = state["density_grid"] * opts.density_grid_decay

@@ -206,9 +206,11 @@ def test_sharded_trainer_compaction_warmup_gate():
 
 def test_sharded_trainer_no_compaction_shares_fns():
     """Without compaction the warmup variants must alias the base fns
-    (no extra compiles)."""
+    (no extra compiles). compact_keep_fraction defaults ON since r5,
+    so the no-compaction premise is explicit here."""
     opts = TrainOptions(config=TINY_CFG, rays_per_batch=512,
-                        samples_per_ray=32, compute_dtype="float32")
+                        samples_per_ray=32, compute_dtype="float32",
+                        compact_keep_fraction=0.0)
     ds = make_synth_dataset(n_images=2)
     tr = sharding.ShardedTrainer(ds, opts, mesh=sharding.make_mesh())
     assert tr._chunk_fn_warmup is tr._chunk_fn
